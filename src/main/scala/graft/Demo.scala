@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ir._
+
+/**
+ * Minimal end-to-end CLI (the Spark-native analog of the reference's
+ * IR client): build (or resume) an index from a transcript table derived
+ * from a documents parquet, then answer free-text queries.
+ *
+ * Usage: runMain graft.Demo <sfDir> <indexDir> <query...>
+ */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val indexDir = if (args.length > 1) args(1) else "/tmp/graft-demo-index"
+    val queries = if (args.length > 2) args.drop(2).toSeq
+      else Seq("data query fast", "spark window merge", "the slow table")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // documents.parquet rows → single-turn conversations (FIXTURES.md §5)
+    val turns = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        format_string("d%012d", col("doc_id")).as("conv_id"),
+        lit(0).as("turn_idx"),
+        lit("user").as("role"),
+        col("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("ts"))
+
+    val cfg = BuildConfig(analyzer = Analyzer.Plain)
+    val view = IndexStore.buildAndSave(spark, turns, indexDir, cfg)
+    println(s"[demo] index: docs=${view.meta.docs} terms=${view.meta.terms} " +
+      s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
+
+    val searcher = new Searcher(view)
+    queries.foreach { q =>
+      println(s"[demo] query: '$q'")
+      println("  tf-idf cosine OR:")
+      searcher.search(spark, q, 5, Or, TfIdfCosine).collect().foreach(r =>
+        println(f"    ${r.getString(1)}  ${r.getDouble(2)}%.6f"))
+      println("  BM25 OR:")
+      searcher.search(spark, q, 5, Or, Bm25).collect().foreach(r =>
+        println(f"    ${r.getString(1)}  ${r.getDouble(2)}%.6f"))
+      println("  BM25 WAND:")
+      searcher.searchBm25Wand(spark, q, 5).collect().foreach(r =>
+        println(f"    ${r.getString(1)}  ${r.getDouble(2)}%.6f"))
+      println("  BM25 AND:")
+      searcher.search(spark, q, 5, And, Bm25).collect().foreach(r =>
+        println(f"    ${r.getString(1)}  ${r.getDouble(2)}%.6f"))
+    }
+    spark.stop()
+  }
+}

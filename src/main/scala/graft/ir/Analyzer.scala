@@ -1,0 +1,115 @@
+package graft.ir
+
+import java.text.Normalizer
+
+/**
+ * Deterministic lexical analyzer, shared verbatim between index build and
+ * query normalization (the rank-identity contract requires bit-identical
+ * tokenization on both sides).
+ *
+ * Semantics follow the reference pipeline
+ * (`/root/reference/IR_server/IR_python/modulos/LexAnalyser.py:37-110` and the
+ * query-side mirror `IR_server/java_src/Model/IRNormalizer.java:21-22,53-100`):
+ *
+ *   1. NFKD-decompose and drop combining marks (accent strip)
+ *   2. lowercase
+ *   3. delete punctuation (`¿¡` + ASCII punctuation) and a fixed
+ *      "weird chars" set
+ *   4. split on whitespace
+ *   5. drop stopwords (list itself normalized with the same tokenizer)
+ *   6. keep terms with minLen <= length <= maxLen
+ *
+ * Regex special-token extraction and Snowball stemming are intentionally OFF
+ * (optional in the reference config; the reference query side never applies
+ * them, so leaving them off preserves index/query symmetry — SURVEY.md §1.3).
+ *
+ * Pure function of (config, input); no locale, wall-clock, or partition-order
+ * dependence, so it is safe inside distributed UDFs at any parallelism.
+ */
+final case class AnalyzerConfig(
+    stopwords: Set[String],
+    minLen: Int,
+    maxLen: Int) extends Serializable
+
+object Analyzer extends Serializable {
+
+  /** `¡¿` + ASCII punctuation, as in the reference normalizer constant. */
+  val Punctuation: String = "¡¿!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  /** Fixed non-ASCII garbage set removed by the reference normalizer. */
+  val WeirdChars: String =
+    "§âÂ¢«»­±¬ºï" +
+      "©®Ÿ€¾°“”·—’" +
+      "‘–Ã¼ü"
+
+  private val removeSet: Set[Char] = (Punctuation + WeirdChars).toSet
+
+  /** Small deterministic Spanish stopword subset for the default profile
+    * (tests embed their own; the full reference list is config-supplied). */
+  val SpanishStopwords: Set[String] = Set(
+    "de", "la", "que", "el", "en", "los", "se", "las", "por", "un",
+    "para", "con", "una", "su", "del", "al", "lo", "como", "mas",
+    "pero", "sus", "les", "este", "esta", "entre", "cuando", "muy",
+    "sobre", "tambien", "hasta", "hay", "donde", "quien", "desde",
+    "nos", "durante", "uno", "ni", "contra", "ese", "eso", "habia",
+    "ante", "ellos", "esto", "antes", "algunos", "unos", "otro",
+    "otras", "otra", "tanto", "esa", "estos", "mucho", "nada", "muchos",
+    "cual", "sea", "poco", "ella", "estar", "haber", "estas", "estaba",
+    "estamos", "algunas", "algo", "nosotros")
+
+  /** English function-word subset (for the sfN `documents` corpus profile
+    * and the language-ID heuristic). */
+  val EnglishStopwords: Set[String] = Set(
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "was",
+    "for", "on", "are", "as", "with", "his", "they", "at", "be",
+    "this", "have", "from", "or", "one", "had", "by", "but", "not",
+    "what", "all", "were", "when", "your", "can", "said")
+
+  /** Reference parity profile (Spanish corpus): lowercase + NFKD strip +
+    * punct/weird removal + whitespace split + stopwords + length [3,23]
+    * (`IR_server/IR_python/config.ini.example:14-21`, stem/regex off). */
+  val Reference: AnalyzerConfig = AnalyzerConfig(SpanishStopwords, 3, 23)
+
+  /** Profile for the driver's synthetic English `documents` corpus: no
+    * stopword removal (keeps the DuckDB oracle SQL trivially equivalent),
+    * same length filter. */
+  val Plain: AnalyzerConfig = AnalyzerConfig(Set.empty, 3, 23)
+
+  /** NFKD decompose, drop combining marks. Mirror of the reference's
+    * `unicodedata.normalize('NFKD', s)` + combining filter. */
+  def stripAccents(s: String): String = {
+    val nfkd = Normalizer.normalize(s, Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(nfkd.length)
+    var i = 0
+    while (i < nfkd.length) {
+      val c = nfkd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Normalize + whitespace-tokenize (reference `tokenize`): accent strip,
+    * lowercase, remove punctuation + weird chars, split on whitespace runs. */
+  def tokenize(line: String): Array[String] = {
+    if (line == null) return Array.empty
+    val stripped = stripAccents(line).toLowerCase
+    val sb = new java.lang.StringBuilder(stripped.length)
+    var i = 0
+    while (i < stripped.length) {
+      val c = stripped.charAt(i)
+      if (!removeSet.contains(c)) sb.append(c)
+      i += 1
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty)
+  }
+
+  /** Full analysis: tokenize then stopword + length filters. */
+  def analyze(line: String, cfg: AnalyzerConfig): Array[String] =
+    tokenize(line).filter { t =>
+      t.length >= cfg.minLen && t.length <= cfg.maxLen &&
+        !cfg.stopwords.contains(t)
+    }
+
+  def analyze(line: String): Array[String] = analyze(line, Reference)
+}

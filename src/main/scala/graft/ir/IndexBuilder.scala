@@ -1,0 +1,221 @@
+package graft.ir
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Index build configuration.
+ *
+ * @param analyzer   shared analyzer profile (index- and query-side)
+ * @param k1, b      BM25 parameters
+ * @param saltRange  docId range width per salt bucket for hot-term posting
+ *                   assembly (SURVEY.md A4: salting by doc-range keeps merged
+ *                   sub-lists docId-sorted because salt ranges are disjoint)
+ * @param buckets    number of term_id buckets for checkpoint-resumable
+ *                   postings writes (resume granularity)
+ */
+final case class BuildConfig(
+    analyzer: AnalyzerConfig = Analyzer.Reference,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    saltRange: Long = 1L << 20,
+    buckets: Int = 8)
+
+/** In-memory view of the five index tables (SURVEY.md §1.2). */
+final case class IndexView(
+    termDict: Dataset[TermStat],
+    postings: Dataset[Block],
+    docStats: Dataset[DocStat],
+    docMap: DataFrame, // (doc_id, conv_id)
+    meta: IndexMeta,
+    cfg: BuildConfig)
+
+/**
+ * Builds the inverted index from a transcript table
+ * (conv_id, turn_idx, role, text, tool, ts) — one document per conversation,
+ * turns concatenated in turn_idx order (BASELINE.json input_hint).
+ *
+ * Reference semantics (SURVEY.md §2.3 A1–A9): per-doc term frequencies,
+ * vocabulary with df/cf, per-doc max tf + vector norms, docId-sorted posting
+ * lists — re-expressed as declarative Dataset aggregations so Catalyst owns
+ * partial aggregation, shuffle planning and AQE skew handling. Custom code is
+ * limited to the two things Catalyst can't see: deterministic dense-id
+ * assignment (two-phase prefix sum via zipWithIndex) and the posting block
+ * codec.
+ */
+object IndexBuilder {
+
+  /**
+   * Deterministic dense id assignment: global sort by a unique key, then
+   * per-partition counts + prefix-sum offsets (RDD zipWithIndex is exactly
+   * that two-phase algorithm). Never `monotonically_increasing_id` (partition
+   * -order dependent) and never a global single-partition window
+   * (SURVEY.md §7.4 risk 1). Result is independent of parallelism because
+   * the sort key is unique, so the total order is data-defined.
+   */
+  private[graft] def zipWithDenseId(
+      df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * Assemble one document per conversation: turns concatenated in turn_idx
+   * order. `array_sort(collect_list(struct(...)))` is the shuffle-friendly
+   * form of the per-conversation ordering window (SURVEY.md §2.6) — one
+   * hash aggregation, no global sort.
+   */
+  def assembleDocs(turns: DataFrame): DataFrame =
+    turns
+      .select(col("conv_id"), struct(col("turn_idx"), col("text")).as("t"))
+      .groupBy("conv_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("t"))), x => x.getField("text")),
+        " ").as("text"))
+
+  /** docs with deterministic docId = dense rank of conv_id ascending. */
+  def docsWithIds(turns: DataFrame): DataFrame =
+    zipWithDenseId(assembleDocs(turns), Seq(col("conv_id")), "doc_id")
+      .select(col("doc_id"), col("conv_id"), col("text"))
+
+  /**
+   * Per-turn text-equality invariant vs the source (north rule): re-split is
+   * impossible after concat, so the invariant is checked the other way —
+   * the assembled doc must equal the deterministic re-concatenation of the
+   * source turns. Returns the count of violating conversations (0 == ok).
+   */
+  def checkTurnInvariant(turns: DataFrame, docs: DataFrame): Long =
+    assembleDocs(turns).withColumnRenamed("text", "expected")
+      .join(docs, "conv_id")
+      .filter(col("expected") =!= col("text"))
+      .count()
+
+  /** Full build. All shuffles are keyed on the natural keys (term, doc_id,
+    * term_id) so Catalyst plans partial aggregation map-side; AQE splits
+    * skewed reducers; hot-term posting groups are additionally salted by
+    * docId range. */
+  def build(spark: SparkSession, turns: DataFrame, cfg: BuildConfig = BuildConfig()): IndexView = {
+    import spark.implicits._
+
+    val docs = docsWithIds(turns).persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+
+    val acfg = cfg.analyzer
+    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
+
+    // A1: per-doc term frequency — explode + hash agg (map-side partial free)
+    val tf = docs
+      .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // A2: vocabulary with df/cf; deterministic term_id = rank by (df desc,
+    // term asc) — frequent terms get small ids (a consistent scheme is all
+    // rank-identity needs, SURVEY.md §1.2)
+    val termAgg = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val termDict = zipWithDenseId(
+      termAgg, Seq(col("df").desc, col("term").asc), "term_id")
+      .withColumn("idf", log10(lit(nDocs.toDouble) / col("df")))
+      .withColumn("bm25_idf",
+        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select("term_id", "term", "df", "cf", "idf", "bm25_idf")
+      .as[TermStat]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // A3 + A7 in one pass: norm = sqrt(sum((tf*idf)^2)) / max_tf, exploiting
+    // that max_tf is constant per doc so it factors out of the sum.
+    val tfWithIds = tf.join(termDict.select("term", "term_id", "idf", "bm25_idf"), "term")
+      .select("doc_id", "term_id", "tf", "idf", "bm25_idf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val docAgg = tfWithIds.groupBy("doc_id").agg(
+      max("tf").as("max_tf"),
+      sum("tf").as("doc_len"),
+      sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+
+    // left join: conversations whose every token was filtered out still get a
+    // doc_stats row (max_tf=0, norm=0 — the reference's empty-doc guard,
+    // ir_manager.py:86-88)
+    val docStats = docs.select("doc_id", "conv_id")
+      .join(docAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("conv_id"),
+        coalesce(col("max_tf"), lit(0)).cast("int").as("max_tf"),
+        coalesce(col("doc_len"), lit(0L)).as("doc_len"),
+        coalesce(sqrt(col("sq")) / col("max_tf"), lit(0.0)).as("norm"))
+      .as[DocStat]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (totalTokens, avgdl) = {
+      val r = docStats.agg(sum("doc_len"), avg("doc_len")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+
+    val postings = buildPostings(spark, tfWithIds, docStats, avgdl, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val meta = IndexMeta(
+      docs = nDocs,
+      terms = termDict.count(),
+      total_tokens = totalTokens,
+      avgdl = avgdl,
+      postings = tfWithIds.count(),
+      blocks = postings.count())
+
+    IndexView(termDict, postings, docStats,
+      docs.select("doc_id", "conv_id"), meta, cfg)
+  }
+
+  /**
+   * A4: posting-list assembly into delta+varint blocks with skip + block-max
+   * metadata. Salted by docId range: group key (term_id, doc_id/saltRange)
+   * bounds any single group to saltRange docs, so a stopword-grade hot term
+   * becomes ceil(N/saltRange) moderate groups instead of one giant reducer;
+   * because salt ranges are disjoint and ordered, the per-salt block runs
+   * concatenate into a globally docId-sorted posting list with no merge.
+   */
+  private[graft] def buildPostings(
+      spark: SparkSession,
+      tfWithIds: DataFrame,
+      docStats: Dataset[DocStat],
+      avgdl: Double,
+      cfg: BuildConfig): Dataset[Block] = {
+    import spark.implicits._
+    val k1 = cfg.k1
+    val b = cfg.b
+    val safeAvgdl = if (avgdl > 0) avgdl else 1.0
+
+    val rows = tfWithIds
+      .join(docStats.select("doc_id", "max_tf", "doc_len"), "doc_id")
+      .select(
+        col("term_id"),
+        (col("doc_id") / lit(cfg.saltRange)).cast("long").as("salt"),
+        col("doc_id"),
+        col("tf"),
+        // full per-posting doc weights, used only for block-max bounds
+        (col("tf") / col("max_tf") * col("idf")).as("w"),
+        (col("bm25_idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b / safeAvgdl) * col("doc_len")))).as("bw"))
+
+    rows
+      .groupBy("term_id", "salt")
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("tf"), col("w"), col("bw")))).as("plist"))
+      .select(col("term_id"), col("plist"))
+      .as[(Long, Seq[(Long, Int, Double, Double)])]
+      .flatMap { case (tid, plist) => Codec.buildBlocks(tid, plist.toArray) }
+  }
+}

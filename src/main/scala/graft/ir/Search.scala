@@ -1,0 +1,219 @@
+package graft.ir
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+sealed trait QueryMode
+case object Or extends QueryMode  // disjunctive union-accumulate (reference serving path)
+case object And extends QueryMode // conjunctive posting intersection
+
+sealed trait Scorer
+case object TfIdfCosine extends Scorer // reference parity (SURVEY.md §1.4)
+case object Bm25 extends Scorer        // north-rule production scorer
+
+/**
+ * Query-side engine: analyze → vocabulary lookup (OOV drop) → postings scan
+ * with predicate pushdown on term_id → block decode → per-doc score
+ * aggregation → threshold → top-k (TakeOrderedAndProject) → doc resolution.
+ *
+ * One Spark job, two shuffles (doc agg + top-k merge) — the Spark-native
+ * reshape of the reference's client→broker→server→GPU hop chain
+ * (SURVEY.md §3.1).
+ *
+ * Scoring semantics:
+ *  - tf-idf cosine: score(d,q) = Σ_t w(t,d)·w(t,q) / (‖q‖·‖d‖) with
+ *    w(t,d) = (tf/maxtf_d)·idf_t, w(t,q) = (qtf/maxqtf)·idf_t,
+ *    idf = log10(N/df); zero divisor → 0; float query-tf division (the
+ *    Python ground-truth path, ir_manager.py:69-96 — see SURVEY.md §1.4 on
+ *    the C-side integer-division divergence).
+ *  - BM25: Σ_t qtf_t · idf25_t · (k1+1)tf / (tf + k1(1-b+b·dl/avgdl)),
+ *    idf25 = ln((N-df+0.5)/(df+0.5)+1).
+ */
+class Searcher(index: IndexView) extends Serializable {
+
+  import index.cfg
+
+  /** Query term weights after analysis + OOV drop. */
+  private[graft] case class QueryTerm(
+      termId: Long, qtf: Int, idf: Double, bm25Idf: Double,
+      qwIdf: Double, // tf-idf: w(t,q)·idf(t) — per-tf-unit cosine numerator factor
+      qb: Double)    // bm25:  qtf·idf25(t)
+
+  private[graft] def queryTerms(spark: SparkSession, query: String): Seq[QueryTerm] = {
+    val terms = Analyzer.analyze(query, cfg.analyzer)
+    if (terms.isEmpty) return Seq.empty
+    val freq: Map[String, Int] =
+      terms.groupBy(identity).map { case (t, g) => t -> g.length }
+    // J2/P9: broadcast-style lookup of the (tiny) query term set against the
+    // dictionary; terms missing from the vocabulary are dropped exactly as
+    // the reference drops them (Model/Query.java:33-41)
+    val rows = index.termDict
+      .filter(col("term").isin(freq.keys.toSeq: _*))
+      .collect()
+    if (rows.isEmpty) return Seq.empty
+    val maxQtf = freq.values.max.toDouble
+    rows.toSeq.map { ts =>
+      val qtf = freq(ts.term)
+      val wq = (qtf / maxQtf) * ts.idf
+      QueryTerm(ts.term_id, qtf, ts.idf, ts.bm25_idf,
+        wq * ts.idf, qtf * ts.bm25_idf)
+    }
+  }
+
+  /** Decoded candidate postings for a term set: (doc_id, term_id, tf). */
+  private[graft] def decodedPostings(
+      spark: SparkSession, termIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    index.postings
+      .filter(col("term_id").isin(termIds: _*))
+      .flatMap { blk =>
+        Codec.decodeBlock(blk).iterator.map { case (d, tf) =>
+          (blk.term_id, d, tf)
+        }
+      }
+      .toDF("term_id", "doc_id", "tf")
+  }
+
+  def search(
+      spark: SparkSession,
+      query: String,
+      k: Int,
+      mode: QueryMode = Or,
+      scorer: Scorer = TfIdfCosine): DataFrame = {
+    val qts = queryTerms(spark, query)
+    scoreTerms(spark, qts, k, mode, scorer, None)
+  }
+
+  /** Shared scoring tail; `onlyBlocks` lets the WAND path substitute a
+    * pruned block set. */
+  private def scoreTerms(
+      spark: SparkSession,
+      qts: Seq[QueryTerm],
+      k: Int,
+      mode: QueryMode,
+      scorer: Scorer,
+      prunedDecoded: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val empty = spark.emptyDataset[Hit].toDF()
+    if (qts.isEmpty) return empty // Query.isEmptyOfTerms short-circuit
+
+    val qwIdf = qts.map(q => q.termId -> q.qwIdf).toMap
+    val qb = qts.map(q => q.termId -> q.qb).toMap
+    val qNorm = math.sqrt(qts.map { q =>
+      val wq = q.qwIdf / q.idf // recover w(t,q)
+      wq * wq
+    }.sum)
+    if (qNorm == 0.0 && scorer == TfIdfCosine) return empty
+
+    val qwIdfMap = typedLit(qwIdf)
+    val qbMap = typedLit(qb)
+
+    val decoded = prunedDecoded.getOrElse(
+      decodedPostings(spark, qts.map(_.termId)))
+
+    // J1: per-doc union accumulation. Cosine numerator factors as
+    // (1/maxtf_d)·Σ_t qwIdf_t·tf — maxtf joins in once per doc after the agg.
+    // BM25 is not separable from doc_len, so the (≤ |q|-element) per-doc
+    // contribution list is kept and folded with a codegen'd higher-order
+    // `aggregate` after the doc_stats join.
+    val perDoc = decoded
+      .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
+      .withColumn("qb", element_at(qbMap, col("term_id")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("cnum"),
+        count(lit(1)).as("nterms"),
+        collect_list(struct(col("qb"), col("tf"))).as("contribs"))
+
+    val matched = mode match {
+      case Or  => perDoc
+      case And => perDoc.filter(col("nterms") === qts.length)
+    }
+
+    val k1 = cfg.k1
+    val b = cfg.b
+    val avgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+
+    val scored = matched
+      .join(index.docStats.select("doc_id", "conv_id", "max_tf", "doc_len", "norm"), "doc_id")
+      .withColumn("score", scorer match {
+        case TfIdfCosine =>
+          when(col("max_tf") === 0 || col("norm") === 0.0, 0.0)
+            .otherwise(col("cnum") / col("max_tf") / (lit(qNorm) * col("norm")))
+        case Bm25 =>
+          aggregate(col("contribs"), lit(0.0), (acc, c) =>
+            acc + c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
+              (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
+      })
+      // T2: engine standardizes on the client-side threshold (score > 0)
+      .filter(col("score") > 0.0)
+      // T1: deterministic tie-break by doc_id (reference tie order is
+      // HashMap-unstable; SURVEY.md §7.4 risk 3)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k) // TakeOrderedAndProject: per-partition heap + merge
+
+    scored.select("doc_id", "conv_id", "score")
+  }
+
+  /**
+   * Block-max pruned BM25 top-k (the north rule's WAND path).
+   *
+   * Sound two-phase distributed variant:
+   *  1. θ = k-th largest exact single-term contribution of the highest-impact
+   *     query term t* (each doc's total ≥ its t* contribution, so θ lower-
+   *     bounds the k-th best total score).
+   *  2. Drop every block b of term t with
+   *     qb_t·blockmax_t(b) + Σ_{t'≠t} qb_{t'}·globalmax(t') < θ:
+   *     any doc in such a block has true score < θ, hence cannot be top-k,
+   *     and every true top-k doc keeps all its blocks (its block bounds
+   *     dominate its true score ≥ θ). Property-tested equal to the exact
+   *     path in WandSpec.
+   */
+  def searchBm25Wand(spark: SparkSession, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val qts = queryTerms(spark, query)
+    if (qts.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val termIds = qts.map(_.termId)
+
+    // per-term global max BM25 doc weight, from block metadata only.
+    // block_max_bm25 is the FULL per-posting term score (idf included), so
+    // the query-side multiplier for bounds is qtf alone — the contribution of
+    // term t to doc d is qtf_t · weight(t,d) ≤ qtf_t · blockmax.
+    val gmax: Map[Long, Double] = index.postings
+      .filter(col("term_id").isin(termIds: _*))
+      .groupBy("term_id").agg(max("block_max_bm25").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val tStar = qts.maxBy(q => q.qtf * gmax.getOrElse(q.termId, 0.0))
+    val theta: Double = {
+      val k1 = cfg.k1; val b = cfg.b
+      val avgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+      val qbStar = tStar.qb
+      val top = decodedPostings(spark, Seq(tStar.termId))
+        .join(index.docStats.select("doc_id", "doc_len"), "doc_id")
+        .withColumn("c", lit(qbStar) * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
+        .orderBy(col("c").desc).limit(k)
+        .agg(min("c"), count(lit(1))).head()
+      // fewer than k docs carry t* → θ would not be a sound k-th-total lower
+      // bound (the final top-k may need docs below it) → disable pruning
+      if (top.isNullAt(0) || top.getLong(1) < k) 0.0 else top.getDouble(0)
+    }
+
+    val sumGmax = qts.map(q => q.qtf * gmax.getOrElse(q.termId, 0.0)).sum
+    val gmaxLit = typedLit(qts.map(q =>
+      q.termId -> (sumGmax - q.qtf * gmax.getOrElse(q.termId, 0.0))).toMap)
+    val qtfLit = typedLit(qts.map(q => q.termId -> q.qtf.toDouble).toMap)
+
+    val survivors = index.postings
+      .filter(col("term_id").isin(termIds: _*))
+      .filter(element_at(qtfLit, col("term_id")) * col("block_max_bm25") +
+        element_at(gmaxLit, col("term_id")) >= theta)
+
+    val decoded = survivors.flatMap { blk =>
+      Codec.decodeBlock(blk).iterator.map { case (d, tf) => (blk.term_id, d, tf) }
+    }.toDF("term_id", "doc_id", "tf")
+
+    scoreTerms(spark, qts, k, Or, Bm25, Some(decoded))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ir
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+import scala.jdk.CollectionConverters._
+
+/** Determinism under parallelism (SURVEY.md §5.3-5) and checkpoint-resume
+  * (§5.3-6). */
+class DeterminismResumeSpec extends SparkSpec {
+
+  private def postingsDump(v: IndexView): Seq[(Long, Long, Int)] =
+    v.postings.collect()
+      .flatMap(b => Codec.decodeBlock(b).map { case (d, tf) => (b.term_id, d, tf) })
+      .sortBy(identity)
+      .toSeq
+
+  private def dictDump(v: IndexView): Seq[(Long, String, Long, Long)] =
+    v.termDict.collect().map(t => (t.term_id, t.term, t.df, t.cf)).sortBy(_._1).toSeq
+
+  test("build is byte-identical across shuffle-partition counts and salt ranges") {
+    val turns = Fixtures.synthTurns(spark, 150)
+    def buildWith(parts: String, salt: Long): IndexView = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try IndexBuilder.build(spark, turns, BuildConfig(saltRange = salt))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = buildWith("3", 1L << 20) // effectively unsalted (one range)
+    val b = buildWith("13", 32)      // heavily salted, different parallelism
+    assert(dictDump(a) == dictDump(b))
+    assert(postingsDump(a) == postingsDump(b))
+    // integer stats exactly; norm to 1e-12 (double summation order may vary
+    // across partitionings — the dump contract is on the integer index)
+    val sa = a.docStats.collect().sortBy(_.doc_id)
+    val sb = b.docStats.collect().sortBy(_.doc_id)
+    assert(sa.map(d => (d.doc_id, d.conv_id, d.max_tf, d.doc_len)).toSeq ==
+      sb.map(d => (d.doc_id, d.conv_id, d.max_tf, d.doc_len)).toSeq)
+    sa.zip(sb).foreach { case (x, y) => assert(math.abs(x.norm - y.norm) < 1e-12) }
+  }
+
+  test("staged build writes manifest, resumes without redoing completed stages") {
+    val turns = Fixtures.synthTurns(spark, 80)
+    val dirFull = graft.SparkSpec.tmpDir("idx-full")
+    val full = IndexStore.buildAndSave(spark, turns, dirFull, BuildConfig(buckets = 4))
+
+    // simulate a build killed after doc_stats: keep early stages, drop the rest
+    val dirPart = graft.SparkSpec.tmpDir("idx-part")
+    IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
+    val manifest = Paths.get(dirPart, "_manifest.tsv")
+    val keepStages = Set("docs", "tf", "term_dict", "doc_stats", "posting_rows",
+      "postings:bucket=0", "postings:bucket=1")
+    val kept = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
+      .filter(l => keepStages.contains(l.split("\t")(0)))
+    Files.write(manifest, kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // wipe the outputs of the "unfinished" stages
+    def rm(p: String): Unit = {
+      val d = Paths.get(p)
+      if (Files.exists(d)) Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    rm(s"$dirPart/postings.parquet/bucket=2")
+    rm(s"$dirPart/postings.parquet/bucket=3")
+    rm(s"$dirPart/index_meta.parquet")
+    rm(s"$dirPart/build_metrics.parquet")
+
+    val docsModifiedBefore = Files.getLastModifiedTime(
+      Paths.get(dirPart, "docs.parquet")).toMillis
+    val resumed = IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
+    val docsModifiedAfter = Files.getLastModifiedTime(
+      Paths.get(dirPart, "docs.parquet")).toMillis
+    assert(docsModifiedBefore == docsModifiedAfter, "completed stage was recomputed")
+
+    assert(postingsDump(resumed) == postingsDump(full))
+    assert(dictDump(resumed) == dictDump(full))
+    assert(resumed.meta == full.meta)
+  }
+
+  test("staged build equals in-memory build") {
+    val turns = Fixtures.synthTurns(spark, 80)
+    val dir = graft.SparkSpec.tmpDir("idx-mem")
+    val staged = IndexStore.buildAndSave(spark, turns, dir, BuildConfig(buckets = 4))
+    val mem = IndexBuilder.build(spark, turns, BuildConfig(buckets = 4))
+    assert(postingsDump(staged) == postingsDump(mem))
+    assert(dictDump(staged) == dictDump(mem))
+  }
+
+  test("build metrics include skew ratio and postings throughput") {
+    val dir = graft.SparkSpec.tmpDir("idx-metrics")
+    IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 60), dir)
+    val m = spark.read.parquet(s"$dir/build_metrics.parquet")
+      .collect().map(r => r.getString(0)).toSet
+    assert(m.contains("skew_ratio"))
+    assert(m.contains("postings_per_sec"))
+    assert(m.exists(_.startsWith("postings:bucket=")))
+  }
+}
