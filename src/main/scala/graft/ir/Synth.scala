@@ -1,0 +1,76 @@
+package graft.ir
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Deterministic synthetic transcript generator (FIXTURES.md §4): splittable
+ * counter PRNG keyed on (seed, conv, turn, slot) — no wall-clock, no
+ * partition-order dependence, identical output at any parallelism. Used by
+ * tests (tiny) and Bench (bench-scale corpus with hot-term skew).
+ */
+object Synth {
+
+  private val Epoch = 1577836800000L // 2020-01-01T00:00:00Z
+
+  /** tp2 vocabulary as the hottest terms (hot-term skew + keeps the
+    * reference query set non-empty). */
+  val HotVocab: Vector[String] = Vector(
+    "software", "libre", "papel", "fundamental", "crecimiento", "internet",
+    "favorecido", "comunicacion", "desarrolladores", "riqueza", "pais",
+    "cultura", "produccion", "tecnologia", "hardware", "incorpore", "estado")
+
+  private val vocabSize = 2000
+  private def vocabTerm(r: Int): String =
+    if (r < HotVocab.length) HotVocab(r) else f"term${r}%04d"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def rand(seed: Long, a: Long, b: Long, c: Long): Long =
+    mix(mix(mix(seed) ^ a * 0x100000001B3L) ^ b * 0x9E3779B1L) ^ mix(c)
+
+  /** Zipf(s≈1.1) rank from uniform u ∈ [0,1) (inverse CDF approximation). */
+  private def zipfRank(u: Double): Int = {
+    val s = 1.1
+    val n = vocabSize.toDouble
+    val r = math.pow(u * (math.pow(n, 1 - s) - 1) + 1, 1 / (1 - s))
+    math.min(vocabSize - 1, math.max(0, r.toInt - 1))
+  }
+
+  private val accentVariants = Map(
+    "pais" -> "País,", "libre" -> "¡LIBRE!", "cultura" -> "cultúra",
+    "estado" -> "Estado.", "tecnologia" -> "tecnología")
+
+  def turns(spark: SparkSession, nConvs: Int, seed: Long = 42L): DataFrame = {
+    val parts = math.max(1, math.min(256, nConvs / 500))
+    val rows = spark.sparkContext
+      .parallelize(0 until nConvs, parts)
+      .flatMap { ci =>
+        val conv = f"c$ci%08d"
+        val nTurns = 1 + (rand(seed, ci, 0, 0) & 0x7FFFFFFF).toInt % 12
+        (0 until nTurns).map { ti =>
+          val nTok = 5 + (rand(seed, ci, ti, 1) & 0x7FFFFFFF).toInt % 36
+          val toks = (0 until nTok).map { wi =>
+            val u = (rand(seed, ci, ti, 100L + wi) >>> 11).toDouble / (1L << 53).toDouble
+            val base = vocabTerm(zipfRank(u))
+            val v = (rand(seed, ci, ti, 500L + wi) & 0x7FFFFFFF).toInt % 100
+            if (v < 5) accentVariants.getOrElse(base, base.toUpperCase)
+            else if (v < 7) "de" // stopword injection
+            else if (v < 8) "xy" // length outlier (dropped by minLen=3)
+            else base
+          }
+          val role = if ((rand(seed, ci, ti, 2) & 0x7FFFFFFF) % 10 == 0) "tool"
+            else if (ti % 2 == 0) "user" else "assistant"
+          val tool = if (role == "tool") "search" else null
+          Turn(conv, ti, role, toks.mkString(" "), tool,
+            new Timestamp(Epoch + (ci.toLong % 100000) * 1000 + ti))
+        }
+      }
+    spark.createDataFrame(rows)
+  }
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ir.{Analyzer, AnalyzerConfig}
+
+/**
+ * Deduplication operators for large-scale training-data pipelines, over a
+ * `documents`-shaped table (doc_id, text).
+ *
+ * Scale posture: every variant is a bounded-key shuffle —
+ *  - exact: one hash aggregation on a 128-bit content hash (no text shuffle)
+ *  - MinHash/SimHash: candidate generation via band-bucket join (docs sharing
+ *    a bucket), so the quadratic pair space is never materialized; exact
+ *    verification runs only on candidates
+ *  - bucket-size guard (`maxBucket`) drops degenerate buckets (all-identical
+ *    boilerplate) instead of letting one reducer explode — the documented
+ *    skew valve.
+ */
+object Dedup {
+
+  val ShingleSize = 3
+  val NumHashes = 64
+  val BandSize = 2 // 32 bands of 2 → P(catch | j=0.5) = 1-(1-0.25)^32 ≈ 1.0
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * Output: (h, n_dups, keeper) for every group (n_dups=1 == unique). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+
+  /** Word shingles (n-gram of tokens) of the analyzed text. */
+  private[ops] def shingles(tokens: Array[String], n: Int = ShingleSize): Array[String] =
+    if (tokens.length < n) Array(tokens.mkString(" "))
+    else tokens.sliding(n).map(_.mkString(" ")).toArray
+
+  private[ops] def minhashSig(sh: Array[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = Hashing.fnv1a64(s)
+      var i = 0
+      while (i < NumHashes) {
+        val h = Hashing.mix(base ^ Hashing.mix(i.toLong * 0x9E3779B97F4A7C15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** doc_id → distinct shingle set (as a DF), shared by minhash + jaccard. */
+  private def shingleSets(docs: DataFrame, cfg: AnalyzerConfig): DataFrame = {
+    val shUdf = udf((t: String) => shingles(Analyzer.analyze(t, cfg)).distinct)
+    docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs: signature → band buckets → bucket join →
+   * exact jaccard verification on candidates. Output:
+   * (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+   */
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double,
+      cfg: AnalyzerConfig = Analyzer.Plain,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = shingleSets(docs, cfg).cache()
+
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh.toArray))
+    val banded = sets
+      .select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+      .select(col("doc_id"), posexplode(
+        // bucket id = hash of each band's 4 signature slots
+        udafBands(col("sig"))).as(Seq("band", "bucket")))
+
+    // candidate pairs = docs sharing (band, bucket); skew valve on bucket size
+    val bySize = banded.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val pairs = bySize
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(pairs, sets, threshold)
+  }
+
+  private val udafBands = udf((sig: Seq[Long]) =>
+    sig.grouped(BandSize).zipWithIndex.map { case (band, i) =>
+      (i, Hashing.mix(band.foldLeft(i.toLong)((a, b) => Hashing.mix(a ^ b))))
+    }.toSeq)
+
+  private val pairsUdf = udf((ids: Seq[Long]) => {
+    val s = ids.distinct.sorted
+    for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+  })
+
+  /** Exact jaccard on candidate pairs only. */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /**
+   * Exact n-gram Jaccard similarity via a shingle inverted index (no LSH
+   * approximation): explode distinct shingles, self-join on shingle to count
+   * intersections, derive union from set sizes. Quadratic only in docs that
+   * actually share shingles; `maxPostings` caps degenerate shingles (the
+   * same skew valve as hot terms in the IR index).
+   */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double,
+      cfg: AnalyzerConfig = Analyzer.Plain,
+      maxPostings: Int = 5000): DataFrame = {
+    val sets = shingleSets(docs, cfg)
+      .withColumn("sz", size(col("sh")))
+    val exploded = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val pruned = exploded
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("cnt") <= maxPostings)
+    val inter = pruned.alias("a")
+      .join(pruned.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc (token-frequency weighted). */
+  private[ops] def simhash64(tokens: Array[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.groupBy(identity).foreach { case (t, g) =>
+      val h = Hashing.fnv1a64(t)
+      val w = g.length
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += w else acc(i) -= w
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, candidates
+    * via 4×16-bit band buckets (any pair within hamming 3 shares ≥1 exact
+    * 16-bit band by pigeonhole). Output (doc_a, doc_b, hamming). */
+  def simhash(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      cfg: AnalyzerConfig = Analyzer.Plain,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers hamming<=3")
+    val spark = docs.sparkSession
+    val shUdf = udf((t: String) => simhash64(Analyzer.analyze(t, cfg)))
+    val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sim")).cache()
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.v"))
+    val buckets = banded.groupBy("band", "v")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    val hammingPairs = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+      val s = xs.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
+      for {
+        i <- s.indices; j <- i + 1 until s.length
+        h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+        if h <= maxHamming
+      } yield (s(i)._1, s(j)._1, h)
+    })
+    buckets.select(explode(hammingPairs(col("xs"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), col("p._3").as("hamming"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs (exact threshold join). Brute-force
+    * pair join at test scale; the LSH-bucketed scale path shares machinery
+    * with Similarity.annLsh. Assumes unit-norm embeddings (dot == cosine
+    * otherwise normalize first). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.dotCol(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+}

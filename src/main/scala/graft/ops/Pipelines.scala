@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ir._
+
+/**
+ * Shared derivations over the driver's testdata (`TESTDATA.md`), and a
+ * per-sfDir memo of the built inverted index so the driver's Verify/Bench
+ * runs build once and reuse across queries.
+ */
+object Pipelines {
+
+  /** Fixed free-text query used by the SQL-oracled search queries (all five
+    * terms exist in every sf corpus vocabulary, each with query-tf 1). */
+  val FixedQuery = "data query fast table window"
+
+  /** documents.parquet rows → single-turn conversations (FIXTURES.md §5). */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        format_string("d%012d", col("doc_id")).as("conv_id"),
+        lit(0).as("turn_idx"),
+        lit("user").as("role"),
+        col("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("ts"))
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Analyzer profile for the English testdata corpus: no stopwords (keeps
+    * the DuckDB oracle SQL a plain split+length filter), length [3,23]. */
+  val Cfg: BuildConfig = BuildConfig(analyzer = Analyzer.Plain)
+
+  private val indexMemo = new ConcurrentHashMap[String, IndexView]()
+
+  /** Build (once per sfDir per JVM) the full inverted index over the
+    * documents corpus. All IR queries below read from these tables, so the
+    * DuckDB oracle validates the entire build pipeline including the block
+    * codec and salting. */
+  def index(spark: SparkSession, sfDir: String): IndexView =
+    indexMemo.computeIfAbsent(sfDir, dir =>
+      IndexBuilder.build(spark, transcripts(spark, dir), Cfg))
+
+  /** Engine-internal doc_id → original documents.doc_id (parse the conv_id
+    * the transcript mapping minted; never assume the dense ranks align). */
+  private def origId(c: org.apache.spark.sql.Column) =
+    substring(c, 2, 18).cast("long")
+
+  /** doc_id joinable view of doc_stats with original ids. */
+  def docStatsOrig(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).docStats.toDF()
+      .withColumn("doc_id_orig", origId(col("conv_id")))
+
+  /** Decoded postings with term strings and original doc ids — the
+    * round-trip through dense ids, salting and the block codec. */
+  def decodedTf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val view = index(spark, sfDir)
+    val decoded = view.postings
+      .flatMap(b => Codec.decodeBlock(b).iterator.map { case (d, tf) =>
+        (b.term_id, d, tf)
+      })
+      .toDF("term_id", "doc_id_dense", "tf")
+    decoded
+      .join(view.termDict.toDF().select("term_id", "term"), "term_id")
+      .join(view.docMap.select(col("doc_id").as("doc_id_dense"),
+        origId(col("conv_id")).as("doc_id")), "doc_id_dense")
+      .select("doc_id", "term", "tf")
+  }
+
+  /** Run the searcher and map hits back to original doc ids, rounded for
+    * oracle comparison; ordering on the rounded score (ties → doc_id) so
+    * both sides sort identically. */
+  def searchOrig(
+      spark: SparkSession, sfDir: String, query: String, k: Int,
+      mode: QueryMode, scorer: Scorer): DataFrame = {
+    val searcher = new Searcher(index(spark, sfDir))
+    searcher.search(spark, query, k, mode, scorer)
+      .select(origId(col("conv_id")).as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  def searchWand(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+    val searcher = new Searcher(index(spark, sfDir))
+    searcher.searchBm25Wand(spark, query, k)
+      .select(origId(col("conv_id")).as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+}
