@@ -12,7 +12,11 @@ import org.apache.spark.storage.StorageLevel
  * @param k1, b      BM25 parameters
  * @param saltRange  docId range width per salt bucket for hot-term posting
  *                   assembly (SURVEY.md A4: salting by doc-range keeps merged
- *                   sub-lists docId-sorted because salt ranges are disjoint)
+ *                   sub-lists docId-sorted because salt ranges are disjoint).
+ *                   0 (default) = auto: ceil(nDocs / (4 × shuffle
+ *                   partitions)), floored at 4096, so a stopword-grade term
+ *                   splits into ≥4 groups per reducer slot instead of one
+ *                   straggler task
  * @param buckets    number of term_id buckets for checkpoint-resumable
  *                   postings writes (resume granularity)
  */
@@ -20,8 +24,13 @@ final case class BuildConfig(
     analyzer: AnalyzerConfig = Analyzer.Reference,
     k1: Double = 1.2,
     b: Double = 0.75,
-    saltRange: Long = 1L << 20,
-    buckets: Int = 8)
+    saltRange: Long = 0L,
+    buckets: Int = 8) {
+
+  def resolveSaltRange(nDocs: Long, shufflePartitions: Int): Long =
+    if (saltRange > 0) saltRange
+    else math.max(4096L, nDocs / math.max(1, 4 * shufflePartitions))
+}
 
 /** In-memory view of the five index tables (SURVEY.md §1.2). */
 final case class IndexView(
@@ -47,6 +56,11 @@ final case class IndexView(
  */
 object IndexBuilder {
 
+  /** Dimension tables up to this many rows are broadcast into fact-side
+    * joins (docMap/termDict/docStats are tens of bytes per row → ≤ ~200 MB
+    * broadcast); larger ones take the shuffle-join path. */
+  val BroadcastRowLimit: Long = 4000000L
+
   /**
    * Deterministic dense id assignment: global sort by a unique key, then
    * per-partition counts + prefix-sum offsets (RDD zipWithIndex is exactly
@@ -64,6 +78,10 @@ object IndexBuilder {
       .sortWithinPartitions(order: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
+    // zipWithIndex runs one extra count job over `sorted`; the repartition
+    // exchange is reused across the two executions (Spark shuffle reuse), so
+    // only the in-partition sort re-runs — cheaper than caching serialized
+    // Rows (measured)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
@@ -104,18 +122,38 @@ object IndexBuilder {
   /** Full build. All shuffles are keyed on the natural keys (term, doc_id,
     * term_id) so Catalyst plans partial aggregation map-side; AQE splits
     * skewed reducers; hot-term posting groups are additionally salted by
-    * docId range. */
+    * docId range.
+    *
+    * The document TEXT is never shuffled: whitespace tokenization distributes
+    * over turn concatenation (tokenize(a + " " + b) == tokenize(a) ++
+    * tokenize(b)), so per-doc term frequencies are computed by analyzing each
+    * turn in place and aggregating (conv_id, term) — only compact token rows
+    * hit the exchange. Document assembly (assembleDocs) exists solely for the
+    * turn-order invariant check and tests. */
   def build(spark: SparkSession, turns: DataFrame, cfg: BuildConfig = BuildConfig()): IndexView = {
     import spark.implicits._
 
-    val docs = docsWithIds(turns).persist(StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docs.count()
+    // doc_map: dense docId over distinct conv_id — sorts only the key column
+    val docMap = zipWithDenseId(
+      turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
+      .select("doc_id", "conv_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docMap.count()
 
     val acfg = cfg.analyzer
     val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
 
-    // A1: per-doc term frequency — explode + hash agg (map-side partial free)
-    val tf = docs
+    // dimension tables broadcast while they fit (kills the fact-side
+    // shuffle); past the guard Catalyst falls back to a shuffle join — the
+    // 10^12-turn path (SURVEY.md §4: broadcast-join selection is Catalyst's,
+    // the guard only hints the obvious)
+    def dim(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastRowLimit) broadcast(df) else df
+
+    // A1: per-doc term frequency — map-side docId resolution, then per-turn
+    // analyze + explode + one hash agg on (doc_id, term) (map-side partial)
+    val tf = turns
+      .join(dim(docMap, nDocs), "conv_id")
       .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
@@ -135,9 +173,12 @@ object IndexBuilder {
       .as[TermStat]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val nTerms = termDict.count()
+
     // A3 + A7 in one pass: norm = sqrt(sum((tf*idf)^2)) / max_tf, exploiting
     // that max_tf is constant per doc so it factors out of the sum.
-    val tfWithIds = tf.join(termDict.select("term", "term_id", "idf", "bm25_idf"), "term")
+    val tfWithIds = tf.join(
+        dim(termDict.select("term", "term_id", "idf", "bm25_idf").toDF(), nTerms), "term")
       .select("doc_id", "term_id", "tf", "idf", "bm25_idf")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -149,7 +190,7 @@ object IndexBuilder {
     // left join: conversations whose every token was filtered out still get a
     // doc_stats row (max_tf=0, norm=0 — the reference's empty-doc guard,
     // ir_manager.py:86-88)
-    val docStats = docs.select("doc_id", "conv_id")
+    val docStats = docMap
       .join(docAgg, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("conv_id"),
@@ -164,19 +205,21 @@ object IndexBuilder {
       (r.getLong(0), r.getDouble(1))
     }
 
-    val postings = buildPostings(spark, tfWithIds, docStats, avgdl, cfg)
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val postings = buildPostings(spark, tfWithIds, docStats, avgdl, cfg,
+      cfg.resolveSaltRange(nDocs, parts), nDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val meta = IndexMeta(
       docs = nDocs,
-      terms = termDict.count(),
+      terms = nTerms,
       total_tokens = totalTokens,
       avgdl = avgdl,
       postings = tfWithIds.count(),
       blocks = postings.count())
 
-    IndexView(termDict, postings, docStats,
-      docs.select("doc_id", "conv_id"), meta, cfg)
+    IndexView(termDict, postings, docStats, docMap, meta, cfg)
   }
 
   /**
@@ -192,17 +235,22 @@ object IndexBuilder {
       tfWithIds: DataFrame,
       docStats: Dataset[DocStat],
       avgdl: Double,
-      cfg: BuildConfig): Dataset[Block] = {
+      cfg: BuildConfig,
+      saltRange: Long,
+      nDocs: Long = -1L): Dataset[Block] = {
     import spark.implicits._
     val k1 = cfg.k1
     val b = cfg.b
     val safeAvgdl = if (avgdl > 0) avgdl else 1.0
 
+    val statsDim = docStats.select("doc_id", "max_tf", "doc_len")
+    val statsJoin =
+      if (nDocs > 0 && nDocs <= BroadcastRowLimit) broadcast(statsDim) else statsDim
     val rows = tfWithIds
-      .join(docStats.select("doc_id", "max_tf", "doc_len"), "doc_id")
+      .join(statsJoin, "doc_id")
       .select(
         col("term_id"),
-        (col("doc_id") / lit(cfg.saltRange)).cast("long").as("salt"),
+        (col("doc_id") / lit(saltRange)).cast("long").as("salt"),
         col("doc_id"),
         col("tf"),
         // full per-posting doc weights, used only for block-max bounds

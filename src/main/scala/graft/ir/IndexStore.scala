@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
  * manifest/lineage discipline are what an Iceberg deployment would get from
  * snapshots):
  *
- *   dir/docs.parquet          (doc_id, conv_id, text)          [scratch+doc_map]
+ *   dir/doc_map.parquet       (doc_id, conv_id)
  *   dir/tf.parquet            (doc_id, term, tf)               [scratch]
  *   dir/term_dict.parquet
  *   dir/doc_stats.parquet
@@ -95,22 +95,29 @@ object IndexStore {
     val acfg = cfg.analyzer
     val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
 
-    stage("docs", "assemble+dense-docId") {
-      val docs = IndexBuilder.docsWithIds(turns)
-      docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
-      spark.read.parquet(s"$dir/docs.parquet").count()
+    stage("doc_map", "dense-docId over distinct conv_id") {
+      IndexBuilder.zipWithDenseId(
+        turns.select("conv_id").distinct(),
+        Seq(col("conv_id")), "doc_id")
+        .select("doc_id", "conv_id")
+        .write.mode("overwrite").parquet(s"$dir/doc_map.parquet")
+      spark.read.parquet(s"$dir/doc_map.parquet").count()
     }
-    lazy val docs = spark.read.parquet(s"$dir/docs.parquet")
+    lazy val docMap = spark.read.parquet(s"$dir/doc_map.parquet")
 
-    stage("tf", "explode+hash-agg") {
-      docs.select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+    lazy val nDocs = docMap.count()
+    def dim(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= IndexBuilder.BroadcastRowLimit) broadcast(df) else df
+
+    stage("tf", "per-turn analyze+explode+hash-agg") {
+      turns.join(dim(docMap, nDocs), "conv_id")
+        .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("int").as("tf"))
         .write.mode("overwrite").parquet(s"$dir/tf.parquet")
       spark.read.parquet(s"$dir/tf.parquet").count()
     }
     lazy val tf = spark.read.parquet(s"$dir/tf.parquet")
-    lazy val nDocs = docs.count()
 
     stage("term_dict", "df/cf+dense-termId") {
       val termAgg = tf.groupBy("term")
@@ -126,14 +133,16 @@ object IndexStore {
     }
     lazy val termDict = spark.read.parquet(s"$dir/term_dict.parquet")
 
+    lazy val nTerms = termDict.count()
+
     stage("doc_stats", "maxtf+len+norm") {
       val docAgg = tf
-        .join(termDict.select("term", "idf"), "term")
+        .join(dim(termDict.select("term", "idf"), nTerms), "term")
         .groupBy("doc_id").agg(
           max("tf").as("max_tf"),
           sum("tf").as("doc_len"),
           sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
-      docs.select("doc_id", "conv_id")
+      docMap
         .join(docAgg, Seq("doc_id"), "left")
         .select(
           col("doc_id"), col("conv_id"),
@@ -151,11 +160,14 @@ object IndexStore {
 
     stage("posting_rows", "weights+salt+bucket-partitioned scratch") {
       val k1 = cfg.k1; val b = cfg.b; val ad = avgdl
-      tf.join(termDict.select("term", "term_id", "idf", "bm25_idf"), "term")
-        .join(docStats.select("doc_id", "max_tf", "doc_len"), "doc_id")
+      val parts = math.max(1,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      val saltRange = cfg.resolveSaltRange(nDocs, parts)
+      tf.join(dim(termDict.select("term", "term_id", "idf", "bm25_idf"), nTerms), "term")
+        .join(dim(docStats.select("doc_id", "max_tf", "doc_len"), nDocs), "doc_id")
         .select(
           col("term_id"),
-          (col("doc_id") / lit(cfg.saltRange)).cast("long").as("salt"),
+          (col("doc_id") / lit(saltRange)).cast("long").as("salt"),
           col("doc_id"), col("tf"),
           (col("tf") / col("max_tf") * col("idf")).as("w"),
           (col("bm25_idf") * (col("tf") * (k1 + 1)) /
@@ -224,7 +236,7 @@ object IndexStore {
           "doc_ids", "tfs", "max_tf", "block_max_tfidf", "block_max_bm25")
         .as[Block],
       docStats = spark.read.parquet(s"$dir/doc_stats.parquet").as[DocStat],
-      docMap = spark.read.parquet(s"$dir/docs.parquet").select("doc_id", "conv_id"),
+      docMap = spark.read.parquet(s"$dir/doc_map.parquet"),
       meta = meta,
       cfg = cfg)
   }

@@ -116,14 +116,19 @@ class Searcher(index: IndexView) extends Serializable {
     // BM25 is not separable from doc_len, so the (≤ |q|-element) per-doc
     // contribution list is kept and folded with a codegen'd higher-order
     // `aggregate` after the doc_stats join.
-    val perDoc = decoded
-      .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
-      .withColumn("qb", element_at(qbMap, col("term_id")))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("c")).as("cnum"),
-        count(lit(1)).as("nterms"),
-        collect_list(struct(col("qb"), col("tf"))).as("contribs"))
+    val perDoc = scorer match {
+      case TfIdfCosine =>
+        decoded
+          .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("cnum"), count(lit(1)).as("nterms"))
+      case Bm25 =>
+        decoded
+          .withColumn("qb", element_at(qbMap, col("term_id")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nterms"),
+            collect_list(struct(col("qb"), col("tf"))).as("contribs"))
+    }
 
     val matched = mode match {
       case Or  => perDoc
@@ -163,7 +168,9 @@ class Searcher(index: IndexView) extends Serializable {
    *     query term t* (each doc's total ≥ its t* contribution, so θ lower-
    *     bounds the k-th best total score).
    *  2. Drop every block b of term t with
-   *     qb_t·blockmax_t(b) + Σ_{t'≠t} qb_{t'}·globalmax(t') < θ:
+   *     qtf_t·blockmax_t(b) + Σ_{t'≠t} qtf_{t'}·globalmax(t') < θ
+   *     (block_max_bm25 is the full idf-included term score, so the
+   *     query-side multiplier is qtf alone):
    *     any doc in such a block has true score < θ, hence cannot be top-k,
    *     and every true top-k doc keeps all its blocks (its block bounds
    *     dominate its true score ≥ θ). Property-tested equal to the exact

@@ -50,7 +50,7 @@ class DeterminismResumeSpec extends SparkSpec {
     val dirPart = graft.SparkSpec.tmpDir("idx-part")
     IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
     val manifest = Paths.get(dirPart, "_manifest.tsv")
-    val keepStages = Set("docs", "tf", "term_dict", "doc_stats", "posting_rows",
+    val keepStages = Set("doc_map", "tf", "term_dict", "doc_stats", "posting_rows",
       "postings:bucket=0", "postings:bucket=1")
     val kept = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
       .filter(l => keepStages.contains(l.split("\t")(0)))
@@ -67,10 +67,10 @@ class DeterminismResumeSpec extends SparkSpec {
     rm(s"$dirPart/build_metrics.parquet")
 
     val docsModifiedBefore = Files.getLastModifiedTime(
-      Paths.get(dirPart, "docs.parquet")).toMillis
+      Paths.get(dirPart, "doc_map.parquet")).toMillis
     val resumed = IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
     val docsModifiedAfter = Files.getLastModifiedTime(
-      Paths.get(dirPart, "docs.parquet")).toMillis
+      Paths.get(dirPart, "doc_map.parquet")).toMillis
     assert(docsModifiedBefore == docsModifiedAfter, "completed stage was recomputed")
 
     assert(postingsDump(resumed) == postingsDump(full))
