@@ -50,6 +50,20 @@ object SparkEntry {
           col("doc_len"), round(col("norm"), 6).as("norm"))
         .orderBy("doc_id")),
 
+    "a6_weights" -> ((s, dir) => {
+      val v = Pipelines.index(s, dir)
+      Exports.weightsTable(v)
+        .join(v.termDict.toDF().select("term_id", "term"), "term_id")
+        .join(v.docMap.select(col("doc_id"),
+          substring(col("conv_id"), 2, 18).cast("long").as("doc_id_orig")), "doc_id")
+        .select(col("doc_id_orig").as("doc_id"), col("term"),
+          col("tf").cast("long").as("tf"), round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id", "term")
+    }),
+
+    "s6_postings_dump" -> ((s, dir) => // rows-only: format spec-tested
+      Exports.sequentialDump(Pipelines.index(s, dir)).orderBy("line")),
+
     "a8_corpus_stats" -> ((s, dir) => {
       import s.implicits._
       val v = Pipelines.index(s, dir)
@@ -186,6 +200,12 @@ object SparkEntry {
     "a3a7_doc_stats" -> (P +
       """SELECT s.doc_id, s.max_tf, s.doc_len, round(norms.sq / s.max_tf, 6) AS norm
         |FROM stats s JOIN norms USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "a6_weights" -> (P +
+      """SELECT t.doc_id, t.term, t.tf,
+        |round(t.tf::DOUBLE / s.max_tf * log10(nn.n / d.df), 6) AS weight
+        |FROM tf t JOIN stats s USING (doc_id) JOIN dict d USING (term), nn
+        |ORDER BY doc_id, term""".stripMargin),
 
     "a8_corpus_stats" -> (P +
       """SELECT (SELECT count(*) FROM documents)::BIGINT AS docs,

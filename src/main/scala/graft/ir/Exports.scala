@@ -1,0 +1,54 @@
+package graft.ir
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Index export / derived-view operators:
+ *
+ *  - S6 sequential text postings format: the reference keeps a debug-readable
+ *    dump `term:doc,freq;doc,freq;…` (`modulos/Postings.py:115-199`). Here a
+ *    DataFrame of the same strings (write as text/json/csv as needed).
+ *
+ *  - A6 materialized tf-idf doc weights: the reference GPU path precomputes
+ *    `w(t,d) = (tf/maxtf_d)·idf_t` at load time
+ *    (`ir_collection_handler.c:229-256`); the engine stores tf and computes
+ *    weights at query time (scorer-agnostic index), but exposes the
+ *    materialized weights table for consumers that want the reference's
+ *    layout.
+ */
+object Exports {
+
+  /** Decoded postings with term ids: (term_id, doc_id, tf). */
+  def decodedPostings(view: IndexView): DataFrame = {
+    val spark = view.postings.sparkSession
+    import spark.implicits._
+    view.postings
+      .flatMap(b => Codec.decodeBlock(b).iterator.map { case (d, tf) =>
+        (b.term_id, d, tf)
+      })
+      .toDF("term_id", "doc_id", "tf")
+  }
+
+  /** A6: (term_id, doc_id, tf, weight) with the reference tf-idf doc weight. */
+  def weightsTable(view: IndexView): DataFrame =
+    decodedPostings(view)
+      .join(view.termDict.select("term_id", "idf"), "term_id")
+      .join(view.docStats.select("doc_id", "max_tf"), "doc_id")
+      .withColumn("weight",
+        when(col("max_tf") === 0, 0.0)
+          .otherwise(col("tf") / col("max_tf") * col("idf")))
+      .select("term_id", "doc_id", "tf", "weight")
+
+  /** S6: `term:doc,freq;doc,freq;…` lines, docId-ascending per term. */
+  def sequentialDump(view: IndexView): DataFrame =
+    decodedPostings(view)
+      .join(view.termDict.select("term_id", "term"), "term_id")
+      .groupBy("term")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          p => concat_ws(",", p.getField("doc_id"), p.getField("tf"))),
+        ";").as("postings"))
+      .select(concat(col("term"), lit(":"), col("postings")).as("line"))
+}

@@ -1,0 +1,94 @@
+package graft.ir
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/**
+ * Serving-tier conveniences around Searcher, mirroring the reference's
+ * IR-server behaviors that survive the Spark-native reshape:
+ *
+ *  - D2 query-result cache: the reference keeps a Guava cache of 3 entries /
+ *    60 s expiry keyed by the normalized termId→freq map
+ *    (`Controller/CacheHandler.java:20-46`, key equality
+ *    `Model/Query.java:74-89`). Here: a driver-side LRU keyed by
+ *    (analyzed-terms frequency map, mode, scorer, k) holding the collected
+ *    top-k rows (small by construction). The distributed token-ring cache
+ *    coherence (D3) is obviated — one logical engine, no replica caches.
+ *
+ *  - S13 query-stats sink: the reference appends per-query CSV rows
+ *    (`Controller/StatsHandler.java:26-99`). Here: an in-memory metrics log
+ *    exposed as a DataFrame (`queryMetrics`) with (query, n_terms, matches,
+ *    millis, cached, mode, scorer) — writable to a `query_metrics` table.
+ *
+ *  - T3 pagination: `searchPage` — the client pages 10 results at a time
+ *    (`IR_client/src/View/InitClient.java:176-187`).
+ */
+class QueryService(
+    index: IndexView,
+    cacheCapacity: Int = 3,
+    cacheTtlMillis: Long = 60000L) {
+
+  private val searcher = new Searcher(index)
+
+  private case class CacheKey(freq: Map[String, Int], mode: QueryMode, scorer: Scorer, k: Int)
+  private case class CacheEntry(rows: Array[Row], at: Long)
+
+  private val cache = new java.util.LinkedHashMap[CacheKey, CacheEntry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[CacheKey, CacheEntry]): Boolean =
+      size() > cacheCapacity
+  }
+
+  private case class Metric(query: String, nTerms: Int, matches: Long,
+      millis: Long, cached: Boolean, mode: String, scorer: String)
+  private val metrics = mutable.ArrayBuffer.empty[Metric]
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** Cached top-k search. Returns collected rows (doc_id, conv_id, score). */
+  def search(
+      spark: SparkSession,
+      query: String,
+      k: Int = 10,
+      mode: QueryMode = Or,
+      scorer: Scorer = Bm25): Array[Row] = synchronized {
+    val t0 = now()
+    val terms = Analyzer.analyze(query, index.cfg.analyzer)
+    val freq = terms.groupBy(identity).map { case (t, g) => t -> g.length }
+    val key = CacheKey(freq, mode, scorer, k)
+    val hit = Option(cache.get(key)).filter(e => now() - e.at <= cacheTtlMillis)
+    val rows = hit match {
+      case Some(e) => e.rows
+      case None =>
+        val r = searcher.search(spark, query, k, mode, scorer).collect()
+        cache.put(key, CacheEntry(r, now()))
+        r
+    }
+    metrics += Metric(query, freq.size, rows.length, now() - t0, hit.isDefined,
+      mode.toString, scorer.toString)
+    rows
+  }
+
+  /** T3: page through results (page is 0-based). */
+  def searchPage(
+      spark: SparkSession,
+      query: String,
+      page: Int,
+      pageSize: Int = 10,
+      mode: QueryMode = Or,
+      scorer: Scorer = Bm25): Array[Row] =
+    search(spark, query, (page + 1) * pageSize, mode, scorer)
+      .drop(page * pageSize)
+
+  /** S13: the query-metrics log as a DataFrame (write to a `query_metrics`
+    * table from here). */
+  def queryMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metrics.toSeq
+      .map(m => (m.query, m.nTerms, m.matches, m.millis, m.cached, m.mode, m.scorer))
+      .toDF("query", "n_terms", "matches", "millis", "cached", "mode", "scorer")
+  }
+
+  def cacheSize: Int = synchronized(cache.size())
+}

@@ -1,0 +1,86 @@
+package graft.ir
+
+import graft.SparkSpec
+
+class ServiceSpec extends SparkSpec {
+
+  private lazy val view: IndexView =
+    IndexBuilder.build(spark, Fixtures.synthTurns(spark, 120))
+
+  test("D2: query cache hits within TTL, evicts LRU beyond capacity") {
+    val svc = new QueryService(view, cacheCapacity = 2, cacheTtlMillis = 60000)
+    val a1 = svc.search(spark, "pais libre")
+    val a2 = svc.search(spark, "pais libre") // hit
+    assert(a1.toSeq == a2.toSeq)
+    svc.search(spark, "tecnologia")
+    svc.search(spark, "estado") // evicts 'pais libre' (capacity 2, LRU)
+    assert(svc.cacheSize == 2)
+    val m = svc.queryMetrics(spark).collect()
+    assert(m.length == 4)
+    assert(m.count(_.getAs[Boolean]("cached")) == 1)
+    assert(m.forall(_.getAs[Long]("millis") >= 0))
+  }
+
+  test("D2: cache key is the normalized term-freq map (reference Query equality)") {
+    val svc = new QueryService(view)
+    svc.search(spark, "pais libre")
+    val m0 = svc.search(spark, "LIBRE ¡pais!") // normalizes to same key
+    assert(svc.queryMetrics(spark).collect().last.getAs[Boolean]("cached"))
+    assert(m0.nonEmpty)
+  }
+
+  test("T3: pagination tiles the full ranking without overlap") {
+    val svc = new QueryService(view)
+    val all = svc.search(spark, "pais libre software", 30).map(_.getLong(0)).toSeq
+    val pages = (0 until 3).flatMap(p =>
+      svc.searchPage(spark, "pais libre software", p, 10).map(_.getLong(0)))
+    assert(pages == all.take(pages.length))
+  }
+
+  test("A6: materialized weights equal oracle w(t,d)") {
+    val oracle = Oracle.index(Fixtures.synthCorpus(spark, 120))
+    val terms = view.termDict.collect().map(t => t.term_id -> t.term).toMap
+    val w = Exports.weightsTable(view).collect()
+    assert(w.length == view.meta.postings)
+    w.take(500).foreach { r =>
+      val term = terms(r.getLong(0))
+      val d = r.getLong(1).toInt
+      val expected = (r.getInt(2).toDouble / oracle.maxTf(d)) * oracle.idf(term)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    }
+  }
+
+  test("S6: sequential dump lines have reference format and full coverage") {
+    val lines = Exports.sequentialDump(view).collect().map(_.getString(0))
+    assert(lines.length == view.meta.terms)
+    assert(lines.forall(_.matches("[^:]+:\\d+,\\d+(;\\d+,\\d+)*")))
+    val oracle = Oracle.index(Fixtures.synthCorpus(spark, 120))
+    val byTerm = lines.map(l => l.split(":")(0) -> l.split(":")(1)).toMap
+    val got = byTerm("software").split(";").map { p =>
+      val Array(d, f) = p.split(","); (d.toLong, f.toInt)
+    }.toVector
+    assert(got == oracle.postings("software"))
+  }
+
+  test("P8: regex extractors match reference semantics") {
+    val cfg = Analyzer.Reference
+    // abbreviations
+    assert(RegexTokens("Dr. Gomez vive alli").terms.contains("Dr."))
+    assert(RegexTokens("el U.S.A. es grande").terms.contains("U.S.A."))
+    // html entities removed from text but not kept as terms
+    val h = RegexTokens("hola &amp; chau")
+    assert(!h.terms.exists(_.contains("&")) && !h.remaining.contains("&amp;"))
+    // dates / percent / money
+    assert(RegexTokens("el 12/05/2017 subio 15% a $100,50").terms
+      .count(t => t == "12/05/2017" || t == "15%" || t == "$100,50") == 3)
+    // urls / emails
+    assert(RegexTokens("ver www.unlu.edu.ar/info ya").terms.exists(_.startsWith("www.unlu")))
+    assert(RegexTokens("escribir a juan.perez@mail.com.ar hoy").terms
+      .contains("juan.perez@mail.com.ar"))
+    // proper names (post accent-strip)
+    assert(RegexTokens("dijo Juan Pérez ayer").terms.contains("Juan Perez"))
+    // extracted terms bypass filters; remaining text analyzed normally
+    val terms = RegexTokens.analyzeWithRegex("Juan Pérez pagó $5 por software", cfg)
+    assert(terms.contains("Juan Perez") && terms.contains("$5") && terms.contains("software"))
+  }
+}
