@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ir._
+
+/** Dumps the physical plans that back the scale claims (pushdown, broadcast,
+  * codegen spans) for PLANS.md. runMain graft.PlanDump <indexDir> */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val indexDir = args.headOption.getOrElse("/tmp/graft-demo-index")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val view = IndexStore.load(spark, indexDir, BuildConfig(analyzer = Analyzer.Plain))
+
+    println("==== postings scan with term_id pushdown (parquet-backed) ====")
+    spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("term_id").isin(3L, 7L, 11L))
+      .select("term_id", "first_doc_id", "count")
+      .explain("formatted")
+
+    println("==== full BM25 OR search plan ====")
+    new Searcher(view).search(spark, "data query fast table window", 10, Or, Bm25)
+      .explain("formatted")
+
+    println("==== tf build stage (broadcast docMap) ====")
+    val turns = Synth.turns(spark, 2000)
+    val docMap = IndexBuilder.zipWithDenseId(
+      turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
+      .select("doc_id", "conv_id")
+    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, Analyzer.Plain))
+    turns.join(broadcast(docMap), "conv_id")
+      .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .explain("formatted")
+
+    spark.stop()
+  }
+}
