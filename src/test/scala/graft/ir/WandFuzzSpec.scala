@@ -1,0 +1,40 @@
+package graft.ir
+
+import graft.SparkSpec
+
+/** Pruning-soundness fuzz (SURVEY.md §5.3-4): block-max WAND top-k must
+  * equal the exact BM25 top-k for randomized queries over a skewed corpus —
+  * seeded, so failures reproduce. */
+class WandFuzzSpec extends SparkSpec {
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  test("WAND == exact BM25 on 30 random queries, k in {1,3,10}") {
+    // small saltRange → many blocks per hot term → pruning actually engages
+    val cfg = BuildConfig(saltRange = 32)
+    val view = IndexBuilder.build(spark, Fixtures.synthTurns(spark, 250), cfg)
+    val searcher = new Searcher(view)
+    val vocab = view.termDict.collect().map(_.term)
+    (0 until 30).foreach { qi =>
+      val nTerms = 1 + (mix(qi) & 0x7FFFFFFF).toInt % 5
+      val terms = (0 until nTerms).map { ti =>
+        vocab((mix(qi * 31 + ti) & 0x7FFFFFFF).toInt % vocab.length)
+      }
+      val q = terms.mkString(" ")
+      val k = Seq(1, 3, 10)(qi % 3)
+      val exact = searcher.search(spark, q, k, Or, Bm25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      val wand = searcher.searchBm25Wand(spark, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(wand.map(_._1).toSeq == exact.map(_._1).toSeq, s"q='$q' k=$k doc order")
+      wand.zip(exact).foreach { case ((d, ws), (_, es)) =>
+        assert(math.abs(ws - es) < 1e-9, s"q='$q' k=$k doc=$d score")
+      }
+    }
+  }
+}
