@@ -29,15 +29,20 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // documents.parquet rows → single-turn conversations (FIXTURES.md §5)
-    val turns = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        format_string("d%012d", col("doc_id")).as("conv_id"),
-        lit(0).as("turn_idx"),
-        lit("user").as("role"),
-        col("text"),
-        lit(null).cast("string").as("tool"),
-        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("ts"))
+    // corpus: a documents.parquet dir (rows → single-turn conversations,
+    // FIXTURES.md §5) or any directory of text files (reference-style
+    // corpus walk, one file = one conversation)
+    val turns =
+      if (new java.io.File(s"$sfDir/documents.parquet").exists())
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            format_string("d%012d", col("doc_id")).as("conv_id"),
+            lit(0).as("turn_idx"),
+            lit("user").as("role"),
+            col("text"),
+            lit(null).cast("string").as("tool"),
+            lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("ts"))
+      else graft.ir.Sources.fromTextDir(spark, sfDir)
 
     val cfg = BuildConfig(analyzer = Analyzer.Plain)
     val view = IndexStore.buildAndSave(spark, turns, indexDir, cfg)

@@ -82,7 +82,7 @@ object IndexBuilder {
     // exchange is reused across the two executions (Spark shuffle reuse), so
     // only the in-partition sort re-runs — cheaper than caching serialized
     // Rows (measured)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)
