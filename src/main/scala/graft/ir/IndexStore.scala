@@ -69,6 +69,40 @@ object IndexStore {
    * Staged, resumable build. Returns the loaded IndexView plus the metrics
    * rows written to build_metrics.parquet.
    */
+  /** The build config is part of the index (an index is only queryable with
+    * the analyzer it was built with — rank identity dies silently otherwise),
+    * so it is persisted alongside the tables and restored by load(). */
+  private def writeConfig(dir: String, cfg: BuildConfig): Unit = {
+    val a = cfg.analyzer
+    val lines = Seq(
+      s"minLen\t${a.minLen}",
+      s"maxLen\t${a.maxLen}",
+      s"stopwords\t${a.stopwords.toSeq.sorted.mkString(",")}",
+      s"k1\t${cfg.k1}",
+      s"b\t${cfg.b}",
+      s"saltRange\t${cfg.saltRange}",
+      s"buckets\t${cfg.buckets}")
+    Files.writeString(Paths.get(dir, "_config.tsv"), lines.mkString("", "\n", "\n"))
+  }
+
+  private[graft] def readConfig(dir: String): Option[BuildConfig] = {
+    val p = Paths.get(dir, "_config.tsv")
+    if (!Files.exists(p)) return None
+    val kv = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.contains('\t'))
+      .map { l => val a = l.split("\t", -1); a(0) -> (if (a.length > 1) a(1) else "") }
+      .toMap
+    Some(BuildConfig(
+      analyzer = AnalyzerConfig(
+        stopwords = kv("stopwords").split(",").filter(_.nonEmpty).toSet,
+        minLen = kv("minLen").toInt,
+        maxLen = kv("maxLen").toInt),
+      k1 = kv("k1").toDouble,
+      b = kv("b").toDouble,
+      saltRange = kv("saltRange").toLong,
+      buckets = kv("buckets").toInt))
+  }
+
   def buildAndSave(
       spark: SparkSession,
       turns: DataFrame,
@@ -76,6 +110,12 @@ object IndexStore {
       cfg: BuildConfig = BuildConfig()): IndexView = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
+    readConfig(dir).foreach { stored =>
+      require(stored == cfg,
+        s"index at $dir was built with a different config; resume must use it " +
+          s"(stored=$stored given=$cfg)")
+    }
+    writeConfig(dir, cfg)
     var done = readManifest(dir)
     val metrics = mutable.ArrayBuffer.empty[BuildMetric]
 
@@ -226,8 +266,11 @@ object IndexStore {
     load(spark, dir, cfg)
   }
 
+  /** Load an index; the persisted build config wins over the caller's
+    * default (the analyzer is part of the index, not of the session). */
   def load(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): IndexView = {
     import spark.implicits._
+    val effective = readConfig(dir).getOrElse(cfg)
     val meta = spark.read.parquet(s"$dir/index_meta.parquet").as[IndexMeta].head()
     IndexView(
       termDict = spark.read.parquet(s"$dir/term_dict.parquet").as[TermStat],
@@ -238,6 +281,6 @@ object IndexStore {
       docStats = spark.read.parquet(s"$dir/doc_stats.parquet").as[DocStat],
       docMap = spark.read.parquet(s"$dir/doc_map.parquet"),
       meta = meta,
-      cfg = cfg)
+      cfg = effective)
   }
 }

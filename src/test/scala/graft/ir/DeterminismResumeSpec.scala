@@ -87,6 +87,25 @@ class DeterminismResumeSpec extends SparkSpec {
     assert(dictDump(staged) == dictDump(mem))
   }
 
+  test("build config is persisted with the index and wins on load") {
+    val turns = Fixtures.synthTurns(spark, 60)
+    val dir = graft.SparkSpec.tmpDir("idx-cfg")
+    val cfg = BuildConfig(
+      analyzer = AnalyzerConfig(stopwords = Set("the", "of"), minLen = 2, maxLen = 40),
+      k1 = 1.5, b = 0.6, saltRange = 64, buckets = 4)
+    IndexStore.buildAndSave(spark, turns, dir, cfg)
+    assert(IndexStore.readConfig(dir).contains(cfg))
+    // load with a *default* cfg: the persisted one must win
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.cfg == cfg)
+    // resuming with a different analyzer must be refused (rank identity)
+    val bad = cfg.copy(analyzer = cfg.analyzer.copy(stopwords = Set.empty))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.buildAndSave(spark, turns, dir, bad)
+    }
+    assert(e.getMessage.contains("different config"))
+  }
+
   test("build metrics include skew ratio and postings throughput") {
     val dir = graft.SparkSpec.tmpDir("idx-metrics")
     IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 60), dir)
