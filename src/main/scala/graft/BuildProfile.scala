@@ -85,7 +85,7 @@ object BuildProfile {
         .select(col("term_id"), col("doc_id"), col("tf")).count()
     }
     t("postings") {
-      val x = IndexBuilder.buildPostings(spark, tfIds.toDF(), docStats, 50.0, cfg,
+      val x = IndexBuilder.buildPostings(spark, tfIds.toDF(), docStats,
         cfg.resolveSaltRange(nDocs, 2 * cpus))
       x.count()
     }

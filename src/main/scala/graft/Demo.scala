@@ -11,12 +11,17 @@ import graft.ir._
  * from a documents parquet, then answer free-text queries.
  *
  * Usage: runMain graft.Demo <sfDir> <indexDir> <query...>
+ *        runMain graft.Demo --append <sfDir> <indexDir> <query...>
+ *          (splits the corpus in half: builds on half A, appends half B,
+ *           then queries the combined index — drives IndexStore.append)
  */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val indexDir = if (args.length > 1) args(1) else "/tmp/graft-demo-index"
-    val queries = if (args.length > 2) args.drop(2).toSeq
+    val appendMode = args.headOption.contains("--append")
+    val rest = if (appendMode) args.drop(1) else args
+    val sfDir = if (rest.length > 0) rest(0) else "/root/testdata/sf0.001"
+    val indexDir = if (rest.length > 1) rest(1) else "/tmp/graft-demo-index"
+    val queries = if (rest.length > 2) rest.drop(2).toSeq
       else Seq("data query fast", "spark window merge", "the slow table")
 
     val spark = SparkSession.builder()
@@ -45,7 +50,14 @@ object Demo {
       else graft.ir.Sources.fromTextDir(spark, sfDir)
 
     val cfg = BuildConfig(analyzer = Analyzer.Plain)
-    val view = IndexStore.buildAndSave(spark, turns, indexDir, cfg)
+    val view =
+      if (appendMode) {
+        val a = turns.filter(abs(xxhash64(col("conv_id"))) % 2 === 0)
+        val b = turns.filter(abs(xxhash64(col("conv_id"))) % 2 === 1)
+        val base = IndexStore.buildAndSave(spark, a, indexDir, cfg)
+        println(s"[demo] base index: docs=${base.meta.docs} terms=${base.meta.terms}")
+        IndexStore.append(spark, b, indexDir)
+      } else IndexStore.buildAndSave(spark, turns, indexDir, cfg)
     println(s"[demo] index: docs=${view.meta.docs} terms=${view.meta.terms} " +
       s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
 

@@ -102,13 +102,13 @@ object Codec extends Serializable {
   /**
    * Chop one docId-sorted posting slice into compressed blocks.
    *
-   * @param entries (docId, tf, tfidfWeight, bm25Weight) sorted by docId,
-   *                strictly ascending docIds (weights are the full
-   *                scorer-specific per-posting doc weights, used only to
-   *                compute per-block maxima — the blocks themselves persist
-   *                tf, keeping the index scorer-agnostic, SURVEY.md A6).
+   * @param entries (docId, tf, ntf, docLen) sorted by docId, strictly
+   *                ascending docIds; ntf = tf/maxtf(doc). Only doc-local
+   *                quantities enter block metadata (never idf/avgdl/N), so
+   *                blocks stay valid when the corpus grows — see the Block
+   *                scaladoc for how query-time scorer bounds are assembled.
    */
-  def buildBlocks(termId: Long, entries: Array[(Long, Int, Double, Double)]): Seq[Block] = {
+  def buildBlocks(termId: Long, entries: Array[(Long, Int, Double, Long)]): Seq[Block] = {
     val out = new ArrayBuffer[Block](entries.length / BlockSize + 1)
     var start = 0
     while (start < entries.length) {
@@ -117,19 +117,19 @@ object Codec extends Serializable {
       val docIds = new Array[Long](n)
       val tfs = new Array[Int](n)
       var maxTf = 0
-      var maxW = 0.0
-      var maxB = 0.0
+      var maxNtf = 0.0
+      var minDl = Long.MaxValue
       var i = 0
       while (i < n) {
-        val (d, tf, w, b) = entries(start + i)
+        val (d, tf, ntf, dl) = entries(start + i)
         docIds(i) = d; tfs(i) = tf
         if (tf > maxTf) maxTf = tf
-        if (w > maxW) maxW = w
-        if (b > maxB) maxB = b
+        if (ntf > maxNtf) maxNtf = ntf
+        if (dl < minDl) minDl = dl
         i += 1
       }
       out += Block(termId, docIds(0), docIds(n - 1), n,
-        encodeDocIds(docIds), encodeTfs(tfs), maxTf, maxW, maxB)
+        encodeDocIds(docIds), encodeTfs(tfs), maxTf, maxNtf, minDl)
       start = end
     }
     out.toSeq

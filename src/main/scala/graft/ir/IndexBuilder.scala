@@ -207,7 +207,7 @@ object IndexBuilder {
 
     val parts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val postings = buildPostings(spark, tfWithIds, docStats, avgdl, cfg,
+    val postings = buildPostings(spark, tfWithIds, docStats,
       cfg.resolveSaltRange(nDocs, parts), nDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -229,19 +229,18 @@ object IndexBuilder {
    * becomes ceil(N/saltRange) moderate groups instead of one giant reducer;
    * because salt ranges are disjoint and ordered, the per-salt block runs
    * concatenate into a globally docId-sorted posting list with no merge.
+   *
+   * Block metadata uses only doc-local stats (tf/maxtf, doc_len) — no
+   * idf/avgdl — so this stage needs no corpus-global inputs and appended
+   * batches produce blocks that coexist with old ones (Schemas.Block).
    */
   private[graft] def buildPostings(
       spark: SparkSession,
       tfWithIds: DataFrame,
       docStats: Dataset[DocStat],
-      avgdl: Double,
-      cfg: BuildConfig,
       saltRange: Long,
       nDocs: Long = -1L): Dataset[Block] = {
     import spark.implicits._
-    val k1 = cfg.k1
-    val b = cfg.b
-    val safeAvgdl = if (avgdl > 0) avgdl else 1.0
 
     val statsDim = docStats.select("doc_id", "max_tf", "doc_len")
     val statsJoin =
@@ -253,17 +252,15 @@ object IndexBuilder {
         (col("doc_id") / lit(saltRange)).cast("long").as("salt"),
         col("doc_id"),
         col("tf"),
-        // full per-posting doc weights, used only for block-max bounds
-        (col("tf") / col("max_tf") * col("idf")).as("w"),
-        (col("bm25_idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b / safeAvgdl) * col("doc_len")))).as("bw"))
+        (col("tf").cast("double") / col("max_tf")).as("ntf"),
+        col("doc_len").as("dl"))
 
     rows
       .groupBy("term_id", "salt")
       .agg(sort_array(collect_list(struct(
-        col("doc_id"), col("tf"), col("w"), col("bw")))).as("plist"))
+        col("doc_id"), col("tf"), col("ntf"), col("dl")))).as("plist"))
       .select(col("term_id"), col("plist"))
-      .as[(Long, Seq[(Long, Int, Double, Double)])]
+      .as[(Long, Seq[(Long, Int, Double, Long)])]
       .flatMap { case (tid, plist) => Codec.buildBlocks(tid, plist.toArray) }
   }
 }

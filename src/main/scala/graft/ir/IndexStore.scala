@@ -38,6 +38,9 @@ object IndexStore {
 
   final case class StageRecord(stage: String, rows: Long, millis: Long, bytes: Long, detail: String)
 
+  private lazy val blockSchema =
+    org.apache.spark.sql.Encoders.product[Block].schema
+
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest.tsv")
 
   private[graft] def readManifest(dir: String): Map[String, StageRecord] = {
@@ -198,20 +201,18 @@ object IndexStore {
       if (r.isNullAt(0) || r.getDouble(0) <= 0) 1.0 else r.getDouble(0)
     }
 
-    stage("posting_rows", "weights+salt+bucket-partitioned scratch") {
-      val k1 = cfg.k1; val b = cfg.b; val ad = avgdl
+    stage("posting_rows", "doc-local stats+salt+bucket-partitioned scratch") {
       val parts = math.max(1,
         spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       val saltRange = cfg.resolveSaltRange(nDocs, parts)
-      tf.join(dim(termDict.select("term", "term_id", "idf", "bm25_idf"), nTerms), "term")
+      tf.join(dim(termDict.select("term", "term_id"), nTerms), "term")
         .join(dim(docStats.select("doc_id", "max_tf", "doc_len"), nDocs), "doc_id")
         .select(
           col("term_id"),
           (col("doc_id") / lit(saltRange)).cast("long").as("salt"),
           col("doc_id"), col("tf"),
-          (col("tf") / col("max_tf") * col("idf")).as("w"),
-          (col("bm25_idf") * (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b / ad) * col("doc_len")))).as("bw"),
+          (col("tf").cast("double") / col("max_tf")).as("ntf"),
+          col("doc_len").as("dl"),
           pmod(col("term_id"), lit(cfg.buckets)).as("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/posting_rows.parquet")
@@ -227,9 +228,9 @@ object IndexStore {
         val blocks = rows
           .groupBy("term_id", "salt")
           .agg(sort_array(collect_list(struct(
-            col("doc_id"), col("tf"), col("w"), col("bw")))).as("plist"))
+            col("doc_id"), col("tf"), col("ntf"), col("dl")))).as("plist"))
           .select(col("term_id"), col("plist"))
-          .as[(Long, Seq[(Long, Int, Double, Double)])]
+          .as[(Long, Seq[(Long, Int, Double, Long)])]
           .flatMap { case (tid, pl) => Codec.buildBlocks(tid, pl.toArray) }
         blocks.write.mode("overwrite").parquet(s"$dir/postings.parquet/bucket=$bkt")
         spark.read.parquet(s"$dir/postings.parquet/bucket=$bkt").count()
@@ -266,20 +267,264 @@ object IndexStore {
     load(spark, dir, cfg)
   }
 
+  // ---------------------------------------------------------------- append
+
+  private def batchDir(dir: String, b: Int): String = s"$dir/batches/b$b"
+
+  private val BatchStage = """^b(\d+):(.*)$""".r
+
+  /** Batch ids whose commit stage is in the manifest, ascending. */
+  private[graft] def committedBatches(manifest: Map[String, StageRecord]): Seq[Int] =
+    manifest.keys.collect { case BatchStage(b, "commit") => b.toInt }.toSeq.sorted
+
+  private def allBatches(manifest: Map[String, StageRecord]): Seq[Int] =
+    manifest.keys.collect { case BatchStage(b, _) => b.toInt }.toSeq.distinct.sorted
+
+  /**
+   * Append a new batch of conversations to an existing index WITHOUT
+   * rebuilding it (the 10^12-turn maintenance path; the reference instead
+   * re-indexes from scratch on demand, IRWorker.java:54-57 `I_F`).
+   *
+   * What stays untouched: every existing posting block and the base tables —
+   * block metadata is corpus-stat-free (Schemas.Block), so growing the corpus
+   * never invalidates stored blocks. What the batch writes (all under
+   * `dir/batches/bN/`, each stage manifest-recorded and resumable exactly
+   * like the base build):
+   *   - doc_map.parquet    delta: new conv_ids, dense docIds after old max
+   *   - tf.parquet         delta: (doc_id, term, tf) — only NEW text is ever
+   *                        tokenized or shuffled
+   *   - term_dict.parquet  full: df/cf = old + delta (docs disjoint, so the
+   *                        sums are exact — no pass over old tf); old
+   *                        term_ids preserved, new terms appended after old
+   *                        max; idf/bm25_idf from the new corpus size
+   *   - doc_stats.parquet  full: recomputed from tf_all × new idf. This is
+   *                        the one whole-corpus pass, over the COMPACT tf
+   *                        table (no text, one agg) — exact cosine norms
+   *                        need the new idf for every doc. BM25-only
+   *                        deployments could skip it: max_tf/doc_len are
+   *                        append-invariant per doc.
+   *   - postings.parquet   delta blocks only; delta docIds all exceed old
+   *                        max, so per-term block runs stay docId-sorted
+   *   - index_meta.parquet full
+   * `load` serves dict/stats/meta from the latest committed batch and unions
+   * base + delta postings/doc_map.
+   *
+   * Conversations already present in the index are filtered out (idempotent
+   * re-delivery). docId assignment depends on batch arrival order — append
+   * equals a full rebuild up to id assignment; terms, stats, scores and
+   * returned conv_ids are identical (AppendSpec).
+   */
+  def append(spark: SparkSession, newTurns: DataFrame, dir: String): IndexView = {
+    import spark.implicits._
+    val cfg = readConfig(dir).getOrElse(throw new IllegalArgumentException(
+      s"no index at $dir (missing _config.tsv)"))
+    var done = readManifest(dir)
+    require(done.contains("build_metrics"), s"base build at $dir is incomplete")
+
+    val committed = committedBatches(done)
+    val incomplete = allBatches(done).filterNot(committed.contains)
+
+    def dim(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= IndexBuilder.BroadcastRowLimit) broadcast(df) else df
+    def latestOr(table: String): String =
+      committed.lastOption.map(b => s"${batchDir(dir, b)}/$table")
+        .getOrElse(s"$dir/$table")
+
+    val docMapPaths =
+      s"$dir/doc_map.parquet" +: committed.map(b => s"${batchDir(dir, b)}/doc_map.parquet")
+    val oldDocMap = docMapPaths.map(spark.read.parquet(_)).reduce(_ union _)
+    val oldMeta = spark.read.parquet(latestOr("index_meta.parquet")).as[IndexMeta].head()
+
+    val newConvs = newTurns.select("conv_id").distinct()
+      .join(oldDocMap.select("conv_id"), Seq("conv_id"), "left_anti")
+      .persist()
+    try {
+      val nNew = newConvs.count()
+      if (nNew == 0) return load(spark, dir)
+      // deterministic input signature: ties a resumed batch to its input
+      val sig = {
+        val r = newConvs.selectExpr("count(*) c", "bit_xor(xxhash64(conv_id)) x").head()
+        s"n=${r.getLong(0)},x=${r.getLong(1)}"
+      }
+      val batch = incomplete match {
+        case Seq() => committed.maxOption.getOrElse(0) + 1
+        case bs =>
+          val b = bs.max
+          val stored = done(s"b$b:begin").detail
+          require(stored == sig,
+            s"append batch b$b at $dir is incomplete (input $stored); finish it " +
+              s"with its original input before appending a different batch ($sig)")
+          b
+      }
+      val bdir = batchDir(dir, batch)
+      Files.createDirectories(Paths.get(bdir))
+
+      val metrics = mutable.ArrayBuffer.empty[BuildMetric]
+      def stage(name: String, detail: String)(body: => Long): Unit = {
+        val full = s"b$batch:$name"
+        if (done.contains(full)) return
+        val t0 = System.nanoTime()
+        val rows = body
+        val ms = (System.nanoTime() - t0) / 1000000
+        val bytes = dirBytes(s"$bdir/$name.parquet")
+        val rec = StageRecord(full, rows, ms, bytes, detail)
+        appendManifest(dir, rec)
+        done += (full -> rec)
+        metrics += BuildMetric(full, detail, rows, bytes, ms, detail)
+      }
+
+      stage("begin", sig) { nNew }
+
+      val oldMaxDoc = oldDocMap.agg(max("doc_id")).head().getLong(0)
+      stage("doc_map", s"delta dense-docId after $oldMaxDoc") {
+        IndexBuilder.zipWithDenseId(newConvs.toDF(), Seq(col("conv_id")), "rk")
+          .select((col("rk") + lit(oldMaxDoc + 1)).as("doc_id"), col("conv_id"))
+          .write.mode("overwrite").parquet(s"$bdir/doc_map.parquet")
+        spark.read.parquet(s"$bdir/doc_map.parquet").count()
+      }
+      lazy val deltaDocMap = spark.read.parquet(s"$bdir/doc_map.parquet")
+
+      val acfg = cfg.analyzer
+      val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
+      stage("tf", "delta per-turn analyze+explode+hash-agg") {
+        // the docMap join filters to the new conversations — old text is
+        // neither read (source pruning is the caller's partition filter)
+        // nor tokenized nor shuffled
+        newTurns.join(dim(deltaDocMap, nNew), "conv_id")
+          .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("int").as("tf"))
+          .write.mode("overwrite").parquet(s"$bdir/tf.parquet")
+        spark.read.parquet(s"$bdir/tf.parquet").count()
+      }
+      lazy val deltaTf = spark.read.parquet(s"$bdir/tf.parquet")
+
+      val nDocsAll = oldMeta.docs + nNew
+      stage("term_dict", "old df/cf + delta, ids preserved, idf from new N") {
+        val oldDict = spark.read.parquet(latestOr("term_dict.parquet"))
+        val deltaAgg = deltaTf.groupBy("term")
+          .agg(count(lit(1)).as("ddf"), sum("tf").as("dcf"))
+        val joined = oldDict.select("term_id", "term", "df", "cf")
+          .join(deltaAgg, Seq("term"), "full_outer")
+        val known = joined.filter(col("term_id").isNotNull)
+          .select(col("term_id"), col("term"),
+            (col("df") + coalesce(col("ddf"), lit(0L))).as("df"),
+            (col("cf") + coalesce(col("dcf"), lit(0L))).as("cf"))
+        val oldMaxTid = oldDict.agg(max("term_id")).head().getLong(0)
+        val fresh = IndexBuilder.zipWithDenseId(
+          joined.filter(col("term_id").isNull)
+            .select(col("term"), col("ddf").as("df"), col("dcf").as("cf")),
+          Seq(col("df").desc, col("term").asc), "rk")
+          .select((col("rk") + lit(oldMaxTid + 1)).as("term_id"),
+            col("term"), col("df"), col("cf"))
+        known.unionByName(fresh)
+          .withColumn("idf", log10(lit(nDocsAll.toDouble) / col("df")))
+          .withColumn("bm25_idf",
+            log((lit(nDocsAll.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .select("term_id", "term", "df", "cf", "idf", "bm25_idf")
+          .write.mode("overwrite").parquet(s"$bdir/term_dict.parquet")
+        spark.read.parquet(s"$bdir/term_dict.parquet").count()
+      }
+      lazy val newDict = spark.read.parquet(s"$bdir/term_dict.parquet")
+      lazy val nTermsAll = newDict.count()
+
+      stage("doc_stats", "full recompute from tf_all x new idf (text-free)") {
+        val tfPaths = (s"$dir/tf.parquet" +:
+          committed.map(b => s"${batchDir(dir, b)}/tf.parquet")) :+ s"$bdir/tf.parquet"
+        val tfAll = tfPaths.map(spark.read.parquet(_)).reduce(_ union _)
+        val docAgg = tfAll
+          .join(dim(newDict.select("term", "idf"), nTermsAll), "term")
+          .groupBy("doc_id").agg(
+            max("tf").as("max_tf"),
+            sum("tf").as("doc_len"),
+            sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+        oldDocMap.union(deltaDocMap)
+          .join(docAgg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("conv_id"),
+            coalesce(col("max_tf"), lit(0)).cast("int").as("max_tf"),
+            coalesce(col("doc_len"), lit(0L)).as("doc_len"),
+            coalesce(sqrt(col("sq")) / col("max_tf"), lit(0.0)).as("norm"))
+          .write.mode("overwrite").parquet(s"$bdir/doc_stats.parquet")
+        spark.read.parquet(s"$bdir/doc_stats.parquet").count()
+      }
+      lazy val newStats = spark.read.parquet(s"$bdir/doc_stats.parquet")
+
+      stage("postings", "delta blocks (docIds after old max; old blocks untouched)") {
+        val parts = math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        val tfWithIds = deltaTf
+          .join(dim(newDict.select("term", "term_id"), nTermsAll), "term")
+          .select("doc_id", "term_id", "tf")
+        val deltaStats = newStats.filter(col("doc_id") > oldMaxDoc).as[DocStat]
+        IndexBuilder.buildPostings(spark, tfWithIds, deltaStats,
+          cfg.resolveSaltRange(nNew, parts), nNew)
+          .withColumn("bucket", pmod(col("term_id"), lit(cfg.buckets)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$bdir/postings.parquet")
+        spark.read.schema(blockSchema).parquet(s"$bdir/postings.parquet").count()
+      }
+
+      stage("index_meta", "corpus stats after append") {
+        val r = newStats.agg(coalesce(sum("doc_len"), lit(0L)), avg("doc_len")).head()
+        val totalTokens = r.getLong(0)
+        val avgdl = if (r.isNullAt(1) || r.getDouble(1) <= 0) 1.0 else r.getDouble(1)
+        val deltaPostings = deltaTf.count()
+        val deltaBlocks =
+          spark.read.schema(blockSchema).parquet(s"$bdir/postings.parquet").count()
+        Seq(IndexMeta(nDocsAll, nTermsAll, totalTokens, avgdl,
+          oldMeta.postings + deltaPostings, oldMeta.blocks + deltaBlocks))
+          .toDS().write.mode("overwrite").parquet(s"$bdir/index_meta.parquet")
+        1L
+      }
+
+      stage("build_metrics", "append lineage") {
+        // derive from the manifest (not the in-memory buffer) so a resumed
+        // batch still records its earlier stages' lineage
+        val rows = done.values.toSeq
+          .filter(_.stage.startsWith(s"b$batch:"))
+          .map(r => BuildMetric(r.stage, r.detail, r.rows, r.bytes, r.millis, r.detail))
+        rows.toDS().write.mode("overwrite").parquet(s"$bdir/build_metrics.parquet")
+        rows.size.toLong
+      }
+
+      stage("commit", sig) { 1L }
+      load(spark, dir)
+    } finally newConvs.unpersist()
+  }
+
   /** Load an index; the persisted build config wins over the caller's
-    * default (the analyzer is part of the index, not of the session). */
+    * default (the analyzer is part of the index, not of the session).
+    * Serves dict/stats/meta from the latest committed append batch (if any)
+    * and unions base + batch-delta postings/doc_map. */
   def load(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): IndexView = {
     import spark.implicits._
     val effective = readConfig(dir).getOrElse(cfg)
-    val meta = spark.read.parquet(s"$dir/index_meta.parquet").as[IndexMeta].head()
+    val committed = committedBatches(readManifest(dir))
+    def latestOr(table: String): String =
+      committed.lastOption.map(b => s"${batchDir(dir, b)}/$table")
+        .getOrElse(s"$dir/$table")
+    // per-root reads (not one multi-path read): keeps partition discovery,
+    // pushdown and bucket pruning local to each root. Postings get an
+    // explicit schema so an empty delta (all-stopword batch) still reads.
+    def unionAll(table: String, cols: Seq[String]): DataFrame =
+      (s"$dir/$table" +: committed.map(b => s"${batchDir(dir, b)}/$table"))
+        .map { p =>
+          val r = if (table == "postings.parquet")
+            spark.read.schema(blockSchema).parquet(p)
+          else spark.read.parquet(p)
+          r.select(cols.map(col): _*)
+        }
+        .reduce(_ union _)
+
+    val meta = spark.read.parquet(latestOr("index_meta.parquet")).as[IndexMeta].head()
+    val blockCols = Seq("term_id", "first_doc_id", "last_doc_id", "count",
+      "doc_ids", "tfs", "max_tf", "block_max_ntf", "min_dl")
     IndexView(
-      termDict = spark.read.parquet(s"$dir/term_dict.parquet").as[TermStat],
-      postings = spark.read.parquet(s"$dir/postings.parquet")
-        .select("term_id", "first_doc_id", "last_doc_id", "count",
-          "doc_ids", "tfs", "max_tf", "block_max_tfidf", "block_max_bm25")
-        .as[Block],
-      docStats = spark.read.parquet(s"$dir/doc_stats.parquet").as[DocStat],
-      docMap = spark.read.parquet(s"$dir/doc_map.parquet"),
+      termDict = spark.read.parquet(latestOr("term_dict.parquet")).as[TermStat],
+      postings = unionAll("postings.parquet", blockCols).as[Block],
+      docStats = spark.read.parquet(latestOr("doc_stats.parquet")).as[DocStat],
+      docMap = unionAll("doc_map.parquet", Seq("doc_id", "conv_id")),
       meta = meta,
       cfg = effective)
   }

@@ -42,9 +42,18 @@ final case class DocStat(
     norm: Double) // sqrt(sum_t ((tf/max_tf)*idf)^2), 0 for empty docs
 
 /** One compressed posting block: up to Codec.BlockSize (docId, tf) entries,
-  * docIds strictly ascending, delta+varint encoded. Block-max metadata
-  * carries scorer-specific upper bounds for WAND-style pruning
-  * (SURVEY.md §7.4 item 4: one column per scorer). */
+  * docIds strictly ascending, delta+varint encoded.
+  *
+  * Block metadata is deliberately free of corpus-global statistics (idf,
+  * avgdl, N): every field depends only on the block's own documents, so
+  * appending a new batch of documents (which shifts df/idf/avgdl for the
+  * whole corpus) never invalidates an existing block — the IndexStore.append
+  * path can leave old postings untouched at 10^12-turn scale. Scorer bounds
+  * for WAND pruning are assembled at query time from this metadata plus the
+  * CURRENT dictionary/meta stats:
+  *   tf-idf:  idf(t) · block_max_ntf                       (exactly tight)
+  *   BM25:    idf25(t) · s(max_tf, min_dl, avgdl_now)      (sound: s is
+  *            increasing in tf and decreasing in dl) */
 final case class Block(
     term_id: Long,
     first_doc_id: Long,     // skip-pointer lower bound
@@ -52,9 +61,9 @@ final case class Block(
     count: Int,
     doc_ids: Array[Byte],   // delta+varint
     tfs: Array[Byte],       // varint
-    max_tf: Int,
-    block_max_tfidf: Double, // max over block of (tf/maxtf(d))*idf(t)
-    block_max_bm25: Double)  // max over block of full BM25 term score
+    max_tf: Int,            // max tf in block
+    block_max_ntf: Double,  // max over block of tf/maxtf(d) — doc-local
+    min_dl: Long)           // min over block of doc_len(d) — doc-local
 
 /** Decoded posting entry. */
 final case class Posting(term_id: Long, doc_id: Long, tf: Int)

@@ -168,13 +168,19 @@ class Searcher(index: IndexView) extends Serializable {
    *     query term t* (each doc's total ≥ its t* contribution, so θ lower-
    *     bounds the k-th best total score).
    *  2. Drop every block b of term t with
-   *     qtf_t·blockmax_t(b) + Σ_{t'≠t} qtf_{t'}·globalmax(t') < θ
-   *     (block_max_bm25 is the full idf-included term score, so the
-   *     query-side multiplier is qtf alone):
+   *     qtf_t·blockbound_t(b) + Σ_{t'≠t} qtf_{t'}·globalmax(t') < θ:
    *     any doc in such a block has true score < θ, hence cannot be top-k,
    *     and every true top-k doc keeps all its blocks (its block bounds
    *     dominate its true score ≥ θ). Property-tested equal to the exact
    *     path in WandSpec.
+   *
+   * Block bounds are assembled HERE, from append-invariant block metadata
+   * (max_tf, min_dl — Schemas.Block) and the CURRENT dictionary/meta stats:
+   *   blockbound_t(b) = idf25(t) · s(max_tf(b), min_dl(b), avgdl)
+   * with s(tf,dl,·) the BM25 tf-saturation term. Sound because s is
+   * increasing in tf and decreasing in dl, so every posting in the block
+   * scores ≤ the bound; appended batches change idf25/avgdl without
+   * invalidating stored blocks.
    */
   def searchBm25Wand(spark: SparkSession, query: String, k: Int): DataFrame = {
     import spark.implicits._
@@ -182,13 +188,20 @@ class Searcher(index: IndexView) extends Serializable {
     if (qts.isEmpty) return spark.emptyDataset[Hit].toDF()
     val termIds = qts.map(_.termId)
 
-    // per-term global max BM25 doc weight, from block metadata only.
-    // block_max_bm25 is the FULL per-posting term score (idf included), so
-    // the query-side multiplier for bounds is qtf alone — the contribution of
-    // term t to doc d is qtf_t · weight(t,d) ≤ qtf_t · blockmax.
+    val bk1 = cfg.k1; val bb = cfg.b
+    val bAvgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+    val bIdfLit = typedLit(qts.map(q => q.termId -> q.bm25Idf).toMap)
+    // per-block sound upper bound on the BM25 per-posting term score; the
+    // query-side multiplier for doc contributions is then qtf alone
+    val blockBound = element_at(bIdfLit, col("term_id")) *
+      (col("max_tf") * (bk1 + 1)) /
+      (col("max_tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("min_dl")))
+
+    // per-term global max BM25 doc weight, from block metadata only
     val gmax: Map[Long, Double] = index.postings
       .filter(col("term_id").isin(termIds: _*))
-      .groupBy("term_id").agg(max("block_max_bm25").as("m"))
+      .withColumn("bound", blockBound)
+      .groupBy("term_id").agg(max("bound").as("m"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     val tStar = qts.maxBy(q => q.qtf * gmax.getOrElse(q.termId, 0.0))
@@ -214,7 +227,7 @@ class Searcher(index: IndexView) extends Serializable {
 
     val survivors = index.postings
       .filter(col("term_id").isin(termIds: _*))
-      .filter(element_at(qtfLit, col("term_id")) * col("block_max_bm25") +
+      .filter(element_at(qtfLit, col("term_id")) * blockBound +
         element_at(gmaxLit, col("term_id")) >= theta)
 
     val decoded = survivors.flatMap { blk =>

@@ -1,0 +1,185 @@
+package graft.ir
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Batch append (IndexStore.append): appending new conversations must equal a
+ * full rebuild of the union corpus modulo id ASSIGNMENT — terms, df/cf/idf,
+ * per-doc stats, posting contents and query scores are identical keyed by
+ * (term, conv_id); doc_id/term_id numbering may differ (arrival order vs
+ * global rank). Old posting blocks are never rewritten (corpus-stat-free
+ * block metadata, Schemas.Block).
+ */
+class AppendSpec extends SparkSpec {
+
+  // split by conv_id hash parity so the appended batch is NOT the
+  // lexicographic tail — append ids then genuinely differ from rebuild ids
+  private def batches(n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val all = Fixtures.synthTurns(spark, n)
+    val b1 = all.filter(abs(xxhash64(col("conv_id"))) % 2 === 0)
+    val b2 = all.filter(abs(xxhash64(col("conv_id"))) % 2 === 1)
+    (all, b1, b2)
+  }
+
+  /** (term, conv_id, tf) postings set, ids resolved through the index's own
+    * dict and docMap. */
+  private def postingsByKey(v: IndexView): Set[(String, String, Int)] = {
+    val terms = v.termDict.collect().map(t => t.term_id -> t.term).toMap
+    val convs = v.docMap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    v.postings.collect().flatMap { b =>
+      Codec.decodeBlock(b).map { case (d, tf) => (terms(b.term_id), convs(d), tf) }
+    }.toSet
+  }
+
+  private def dictByTerm(v: IndexView): Map[String, (Long, Long, Double, Double)] =
+    v.termDict.collect()
+      .map(t => t.term -> (t.df, t.cf, t.idf, t.bm25_idf)).toMap
+
+  private def statsByConv(v: IndexView): Map[String, (Int, Long, Double)] =
+    v.docStats.collect()
+      .map(d => d.conv_id -> (d.max_tf, d.doc_len, d.norm)).toMap
+
+  private def scoresByConv(v: IndexView, q: String, scorer: Scorer): Map[String, Double] =
+    new Searcher(v).search(spark, q, 1000000, Or, scorer)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+
+  test("append equals full rebuild modulo id assignment") {
+    val (all, b1, b2) = batches(120)
+    val dirA = graft.SparkSpec.tmpDir("app-a")
+    IndexStore.buildAndSave(spark, b1, dirA, BuildConfig(buckets = 4))
+    val appended = IndexStore.append(spark, b2, dirA)
+
+    val dirF = graft.SparkSpec.tmpDir("app-f")
+    val full = IndexStore.buildAndSave(spark, all, dirF, BuildConfig(buckets = 4))
+
+    // dictionary: identical stats per term (ids may differ)
+    val da = dictByTerm(appended); val df = dictByTerm(full)
+    assert(da.keySet == df.keySet)
+    da.foreach { case (t, (adf, acf, ai, ab)) =>
+      val (fdf, fcf, fi, fb) = df(t)
+      assert(adf == fdf && acf == fcf, s"df/cf mismatch for $t")
+      assert(math.abs(ai - fi) < 1e-12 && math.abs(ab - fb) < 1e-12, s"idf mismatch for $t")
+    }
+
+    // per-doc stats keyed by conv_id
+    val sa = statsByConv(appended); val sf = statsByConv(full)
+    assert(sa.keySet == sf.keySet)
+    sa.foreach { case (c, (amt, adl, an)) =>
+      val (fmt, fdl, fn) = sf(c)
+      assert(amt == fmt && adl == fdl, s"max_tf/doc_len mismatch for $c")
+      assert(math.abs(an - fn) < 1e-12, s"norm mismatch for $c")
+    }
+
+    // postings content
+    assert(postingsByKey(appended) == postingsByKey(full))
+
+    // meta (block boundaries legitimately differ)
+    assert(appended.meta.docs == full.meta.docs)
+    assert(appended.meta.terms == full.meta.terms)
+    assert(appended.meta.postings == full.meta.postings)
+    assert(appended.meta.total_tokens == full.meta.total_tokens)
+    assert(math.abs(appended.meta.avgdl - full.meta.avgdl) < 1e-12)
+
+    // rank identity by conv_id: full score maps equal for both scorers
+    Seq("alpha beta", "data model training", "zz nonexistent").foreach { q =>
+      Seq[Scorer](TfIdfCosine, Bm25).foreach { sc =>
+        val ma = scoresByConv(appended, q, sc); val mf = scoresByConv(full, q, sc)
+        assert(ma.keySet == mf.keySet, s"matched docs differ for '$q'/$sc")
+        ma.foreach { case (c, s) =>
+          assert(math.abs(s - mf(c)) < 1e-9, s"score mismatch for $c on '$q'/$sc")
+        }
+      }
+    }
+
+    // WAND on the appended index still equals its exact BM25 (bounds from
+    // current stats remain sound after idf/avgdl shifted under the blocks)
+    val queryTerms = appended.termDict.collect().map(_.term).sorted.take(4).mkString(" ")
+    val exact = new Searcher(appended).search(spark, queryTerms, 10, Or, Bm25)
+      .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val wand = new Searcher(appended).searchBm25Wand(spark, queryTerms, 10)
+      .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(wand == exact)
+  }
+
+  test("old posting files are not rewritten by append") {
+    val (_, b1, b2) = batches(80)
+    val dir = graft.SparkSpec.tmpDir("app-ro")
+    IndexStore.buildAndSave(spark, b1, dir, BuildConfig(buckets = 4))
+    val before = Files.walk(Paths.get(s"$dir/postings.parquet")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    IndexStore.append(spark, b2, dir)
+    val after = Files.walk(Paths.get(s"$dir/postings.parquet")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    assert(before == after, "append touched base posting files")
+  }
+
+  test("append is idempotent on re-delivery and resumable after a crash") {
+    val (_, b1, b2) = batches(80)
+    val dir = graft.SparkSpec.tmpDir("app-res")
+    IndexStore.buildAndSave(spark, b1, dir, BuildConfig(buckets = 4))
+    val once = IndexStore.append(spark, b2, dir)
+
+    // re-delivering the same batch is a no-op (all convs already indexed)
+    val again = IndexStore.append(spark, b2, dir)
+    assert(IndexStore.committedBatches(IndexStore.readManifest(dir)) == Seq(1))
+    assert(again.meta == once.meta)
+
+    // simulate a crash after b1's tf stage in a second index
+    val dir2 = graft.SparkSpec.tmpDir("app-res2")
+    IndexStore.buildAndSave(spark, b1, dir2, BuildConfig(buckets = 4))
+    IndexStore.append(spark, b2, dir2)
+    val manifest = Paths.get(dir2, "_manifest.tsv")
+    val keep = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala.filter { l =>
+      val stage = l.split("\t")(0)
+      !stage.startsWith("b1:") || Set("b1:begin", "b1:doc_map", "b1:tf").contains(stage)
+    }
+    Files.write(manifest, keep.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    def rm(p: String): Unit = {
+      val d = Paths.get(p)
+      if (Files.exists(d)) Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Seq("term_dict", "doc_stats", "postings", "index_meta", "build_metrics")
+      .foreach(t => rm(s"$dir2/batches/b1/$t.parquet"))
+
+    val tfModifiedBefore =
+      Files.getLastModifiedTime(Paths.get(s"$dir2/batches/b1/tf.parquet")).toMillis
+    val resumed = IndexStore.append(spark, b2, dir2)
+    val tfModifiedAfter =
+      Files.getLastModifiedTime(Paths.get(s"$dir2/batches/b1/tf.parquet")).toMillis
+    assert(tfModifiedBefore == tfModifiedAfter, "completed append stage was recomputed")
+    assert(resumed.meta == once.meta)
+    assert(postingsByKey(resumed) == postingsByKey(once))
+  }
+
+  test("multi-batch append accumulates; empty-text batch still loads") {
+    import spark.implicits._
+    val (_, b1, b2) = batches(60)
+    val dir = graft.SparkSpec.tmpDir("app-multi")
+    IndexStore.buildAndSave(spark, b1, dir, BuildConfig(buckets = 4))
+    val v1 = IndexStore.append(spark, b2, dir)
+    assert(IndexStore.committedBatches(IndexStore.readManifest(dir)) == Seq(1))
+
+    // a batch whose single conversation analyzes to zero tokens: delta
+    // postings are empty, the doc still gets a doc_stats row (doc_len=0)
+    val emptyBatch = Seq(
+      Turn("zzz_empty_conv", 0, "user", "", null, new java.sql.Timestamp(0L))).toDF()
+    val v2 = IndexStore.append(spark, emptyBatch, dir)
+    assert(IndexStore.committedBatches(IndexStore.readManifest(dir)) == Seq(1, 2))
+    assert(v2.meta.docs == v1.meta.docs + 1)
+    assert(v2.meta.postings == v1.meta.postings)
+    val row = v2.docStats.filter(col("conv_id") === "zzz_empty_conv").head()
+    assert(row.doc_len == 0L && row.max_tf == 0 && row.norm == 0.0)
+    // queries still work over the unioned index
+    val hits = new Searcher(v2).search(spark, "data", 5, Or, Bm25)
+    assert(hits.count() >= 0)
+  }
+}

@@ -28,8 +28,9 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("block build: contents, skip metadata, block-max bounds (property)") {
+    // (docId, tf, ntf, docLen) — doc-local quantities only (Schemas.Block)
     val entriesGen = sortedIdsGen.map { ids =>
-      ids.map(d => (d, 1 + (d % 7).toInt, (d % 100) / 10.0, (d % 31) / 3.0))
+      ids.map(d => (d, 1 + (d % 7).toInt, (d % 100) / 100.0, 1L + (d % 31)))
     }
     check(Prop.forAll(entriesGen) { entries =>
       val blocks = Codec.buildBlocks(7L, entries)
@@ -46,7 +47,7 @@ class CodecSpec extends AnyFunSuite {
       }
       val maxOk = blocks.zipWithIndex.forall { case (b, bi) =>
         val slice = entries.slice(bi * Codec.BlockSize, bi * Codec.BlockSize + b.count)
-        slice.forall(e => e._3 <= b.block_max_tfidf && e._4 <= b.block_max_bm25 &&
+        slice.forall(e => e._3 <= b.block_max_ntf && e._4 >= b.min_dl &&
           e._2 <= b.max_tf)
       }
       contentOk && blockOk && orderedOk && maxOk
