@@ -375,7 +375,10 @@ object IndexStore {
 
       stage("begin", sig) { nNew }
 
-      val oldMaxDoc = oldDocMap.agg(max("doc_id")).head().getLong(0)
+      val oldMaxDoc = {
+        val r = oldDocMap.agg(max("doc_id")).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0) // empty base (streaming bootstrap)
+      }
       stage("doc_map", s"delta dense-docId after $oldMaxDoc") {
         IndexBuilder.zipWithDenseId(newConvs.toDF(), Seq(col("conv_id")), "rk")
           .select((col("rk") + lit(oldMaxDoc + 1)).as("doc_id"), col("conv_id"))
@@ -410,7 +413,10 @@ object IndexStore {
           .select(col("term_id"), col("term"),
             (col("df") + coalesce(col("ddf"), lit(0L))).as("df"),
             (col("cf") + coalesce(col("dcf"), lit(0L))).as("cf"))
-        val oldMaxTid = oldDict.agg(max("term_id")).head().getLong(0)
+        val oldMaxTid = {
+          val r = oldDict.agg(max("term_id")).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0) // empty base dict
+        }
         val fresh = IndexBuilder.zipWithDenseId(
           joined.filter(col("term_id").isNull)
             .select(col("term"), col("ddf").as("df"), col("dcf").as("cf")),
@@ -492,6 +498,17 @@ object IndexStore {
       load(spark, dir)
     } finally newConvs.unpersist()
   }
+
+  /** Build the base index on first call, append on every later call — the
+    * streaming-sink entry point (StreamingIndexer). Both paths are staged
+    * and resumable, so a replayed micro-batch converges. */
+  def appendOrCreate(
+      spark: SparkSession,
+      turns: DataFrame,
+      dir: String,
+      cfg: BuildConfig = BuildConfig()): IndexView =
+    if (readConfig(dir).isEmpty) buildAndSave(spark, turns, dir, cfg)
+    else append(spark, turns, dir)
 
   /** Load an index; the persisted build config wins over the caller's
     * default (the analyzer is part of the index, not of the session).
