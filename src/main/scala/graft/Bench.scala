@@ -115,6 +115,24 @@ object Bench {
     val p50 = pct(0.50)
     val p95 = pct(0.95)
 
+    // ---- incremental append vs full rebuild (staged/disk path) ----
+    // 90/10 split by conv hash: rebuild-all vs append-the-10% onto a
+    // prebuilt 90% base. Quarter-size corpus keeps the bench bounded.
+    val appendStats = {
+      import org.apache.spark.sql.functions._
+      val all = Synth.turns(spark, math.max(1000, nConvs / 4)).cache()
+      val totalTurns = all.count()
+      val base = all.filter(pmod(xxhash64(col("conv_id")), lit(10)) =!= 0)
+      val delta = all.filter(pmod(xxhash64(col("conv_id")), lit(10)) === 0)
+      val dirA = java.nio.file.Files.createTempDirectory("bench-rebuild").toString
+      val (_, rebuildSec) = time(IndexStore.buildAndSave(spark, all, dirA))
+      val dirB = java.nio.file.Files.createTempDirectory("bench-append").toString
+      IndexStore.buildAndSave(spark, base, dirB)
+      val (_, appendSec) = time(IndexStore.append(spark, delta, dirB))
+      all.unpersist()
+      (totalTurns, rebuildSec, appendSec)
+    }
+
     val opTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val (_, sec) = time {
@@ -133,6 +151,9 @@ object Bench {
       s""""sec_localN":${f"$sec8%.3f"},"sec_local4N":${f"$sec32%.3f"},""" +
       s""""turns_per_sec_localN":${f"$thr8%.1f"},"turns_per_sec_local4N":${f"$thr32%.1f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"}},""" +
+      s""""append":{"n_turns_total":${appendStats._1},"delta_frac":0.1,""" +
+      s""""rebuild_sec":${f"${appendStats._2}%.3f"},"append_sec":${f"${appendStats._3}%.3f"},""" +
+      s""""speedup":${f"${appendStats._2 / appendStats._3}%.2f"}},""" +
       s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},"n":${latencies.length}}}""")
   }
 }

@@ -95,7 +95,7 @@ object SparkEntry {
       Pipelines.searchOrig(s, dir, Pipelines.FixedQuery, 1000000, And, Bm25)
         .select("doc_id").orderBy("doc_id")),
 
-    "wand_topk" -> ((s, dir) => // rows-only: equality with exact is spec-tested
+    "wand_topk" -> ((s, dir) => // oracled: == exact BM25 (sound pruning)
       Pipelines.searchWand(s, dir, Pipelines.FixedQuery, 10)),
 
     // ---- dedup ----
@@ -184,6 +184,16 @@ object SparkEntry {
       s" / greatest(len(string_split(text, ' ')), 1), 6)"
   }
 
+  private lazy val bm25TopkSql = P + s""",
+    |avgdl AS (SELECT avg(doc_len) AS a FROM stats),
+    |b25 AS (SELECT t.doc_id,
+    |  sum(ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2)
+    |      / (t.tf + 1.2 * (0.25 + 0.75 * s.doc_len / avgdl.a))) AS score
+    |  FROM tf t JOIN dict d USING (term) JOIN stats s USING (doc_id), nn, avgdl
+    |  WHERE t.term IN $qIn GROUP BY 1)
+    |SELECT doc_id, round(score, 6) AS score FROM b25 WHERE score > 0
+    |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "a1_tf" -> (P +
       "SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term"),
@@ -233,15 +243,11 @@ object SparkEntry {
       |WHERE num.raw > 0
       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
 
-    "j1_bm25_topk" -> (P + s""",
-      |avgdl AS (SELECT avg(doc_len) AS a FROM stats),
-      |b25 AS (SELECT t.doc_id,
-      |  sum(ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2)
-      |      / (t.tf + 1.2 * (0.25 + 0.75 * s.doc_len / avgdl.a))) AS score
-      |  FROM tf t JOIN dict d USING (term) JOIN stats s USING (doc_id), nn, avgdl
-      |  WHERE t.term IN $qIn GROUP BY 1)
-      |SELECT doc_id, round(score, 6) AS score FROM b25 WHERE score > 0
-      |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "j1_bm25_topk" -> bm25TopkSql,
+
+    // WAND is pruning-only (sound bounds): its top-k equals exact BM25, so
+    // it shares the same DuckDB oracle (plus WandFuzzSpec equality fuzzing)
+    "wand_topk" -> bm25TopkSql,
 
     "j4_and_docs" -> (P + s"""
       |SELECT doc_id FROM tf WHERE term IN $qIn
