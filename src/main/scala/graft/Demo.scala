@@ -61,7 +61,7 @@ object Demo {
     println(s"[demo] index: docs=${view.meta.docs} terms=${view.meta.terms} " +
       s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
 
-    val searcher = new Searcher(view)
+    val searcher = new Searcher(view.pin()) // serving mode: hot tables cached
     queries.foreach { q =>
       println(s"[demo] query: '$q'")
       println("  tf-idf cosine OR:")

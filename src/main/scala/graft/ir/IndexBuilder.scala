@@ -39,7 +39,24 @@ final case class IndexView(
     docStats: Dataset[DocStat],
     docMap: DataFrame, // (doc_id, conv_id)
     meta: IndexMeta,
-    cfg: BuildConfig)
+    cfg: BuildConfig) {
+
+  /** S12 analog (serving tier): the reference bulk-loads the whole index
+    * into GPU memory once (GpuServerHandler.java:178-284); here the hot
+    * query-side tables are pinned in executor storage (deserialized in
+    * memory, spilling to disk), materialized lazily on first query. Parquet
+    * stays the source of truth — pinning is a cache, not a copy. */
+  def pin(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): IndexView =
+    copy(
+      termDict = termDict.persist(level),
+      postings = postings.persist(level),
+      docStats = docStats.persist(level))
+
+  def unpin(): IndexView = {
+    termDict.unpersist(); postings.unpersist(); docStats.unpersist()
+    this
+  }
+}
 
 /**
  * Builds the inverted index from a transcript table

@@ -75,9 +75,15 @@ object IndexStore {
   /** The build config is part of the index (an index is only queryable with
     * the analyzer it was built with — rank identity dies silently otherwise),
     * so it is persisted alongside the tables and restored by load(). */
+  /** On-disk layout version; bump when table schemas change incompatibly
+    * (v2 = corpus-stat-free block metadata). Checked on load so a stale
+    * index fails loudly instead of reading NULLs into non-nullable fields. */
+  private[graft] val LayoutVersion = 2
+
   private def writeConfig(dir: String, cfg: BuildConfig): Unit = {
     val a = cfg.analyzer
     val lines = Seq(
+      s"layout\t$LayoutVersion",
       s"minLen\t${a.minLen}",
       s"maxLen\t${a.maxLen}",
       s"stopwords\t${a.stopwords.toSeq.sorted.mkString(",")}",
@@ -95,6 +101,9 @@ object IndexStore {
       .filter(_.contains('\t'))
       .map { l => val a = l.split("\t", -1); a(0) -> (if (a.length > 1) a(1) else "") }
       .toMap
+    val layout = kv.getOrElse("layout", "1").toInt
+    require(layout == LayoutVersion,
+      s"index at $dir has layout v$layout; this engine reads v$LayoutVersion — rebuild it")
     Some(BuildConfig(
       analyzer = AnalyzerConfig(
         stopwords = kv("stopwords").split(",").filter(_.nonEmpty).toSet,

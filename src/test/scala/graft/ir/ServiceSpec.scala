@@ -37,6 +37,22 @@ class ServiceSpec extends SparkSpec {
     assert(pages == all.take(pages.length))
   }
 
+  test("S12: pin caches query-side tables without changing results") {
+    val dir = graft.SparkSpec.tmpDir("svc-pin")
+    IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 80), dir)
+    val cold = IndexStore.load(spark, dir)
+    val before = new Searcher(cold).search(spark, "data model", 10, Or, Bm25)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val hot = cold.pin()
+    assert(hot.postings.storageLevel.useMemory, "postings not pinned")
+    assert(hot.termDict.storageLevel.useMemory, "dict not pinned")
+    val after = new Searcher(hot).search(spark, "data model", 10, Or, Bm25)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(before == after)
+    hot.unpin()
+    assert(!hot.postings.storageLevel.useMemory)
+  }
+
   test("A6: materialized weights equal oracle w(t,d)") {
     val oracle = Oracle.index(Fixtures.synthCorpus(spark, 120))
     val terms = view.termDict.collect().map(t => t.term_id -> t.term).toMap
