@@ -178,8 +178,13 @@ class AppendSpec extends SparkSpec {
     assert(v2.meta.postings == v1.meta.postings)
     val row = v2.docStats.filter(col("conv_id") === "zzz_empty_conv").head()
     assert(row.doc_len == 0L && row.max_tf == 0 && row.norm == 0.0)
-    // queries still work over the unioned index
-    val hits = new Searcher(v2).search(spark, "data", 5, Or, Bm25)
-    assert(hits.count() >= 0)
+    // WAND bounds stay sound after TWO appends (idf/avgdl shifted twice
+    // under the untouched base blocks): pruned == exact on a multi-term query
+    val q = v2.termDict.collect().map(_.term).sorted.take(5).mkString(" ")
+    val exact = new Searcher(v2).search(spark, q, 10, Or, Bm25)
+      .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
+    val wand = new Searcher(v2).searchBm25Wand(spark, q, 10)
+      .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
+    assert(wand == exact)
   }
 }
