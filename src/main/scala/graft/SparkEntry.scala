@@ -152,7 +152,7 @@ object SparkEntry {
       TextAnalysis.fingerprint(Pipelines.documents(s, dir)).orderBy("doc_id")),
 
     // ---- multimodal plumbing (stubbed codec, real schema/batching) ----
-    "mm_features" -> ((s, dir) => // rows-only
+    "mm_features" -> ((s, dir) => // oracled: histogram mass conservation
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(Pipelines.documents(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0d),
@@ -326,6 +326,14 @@ object SparkEntry {
         |  round(0.35 * least(n_tok / 64.0, 1.0) + 0.25 * dr
         |      + 0.2 * least(sr * 4.0, 1.0) + 0.2 * least(ml / 8.0, 1.0), 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the decode stub is a byte histogram normalized by byte count, so its
+    // mass is exactly 1.0 for any non-empty payload and n_bytes is the
+    // utf-8 length — an SQL-checkable conservation invariant of the plumbing
+    "mm_features" ->
+      """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+        |round(CASE WHEN strlen(text) > 0 THEN 1.0 ELSE 0.0 END, 4) AS feature_mass
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }
