@@ -36,6 +36,7 @@ class Searcher(index: IndexView) extends Serializable {
   /** Query term weights after analysis + OOV drop. */
   private[graft] case class QueryTerm(
       termId: Long, qtf: Int, idf: Double, bm25Idf: Double,
+      qw: Double,    // tf-idf: w(t,q) = (qtf/maxqtf)·idf(t) — 0 when idf=0 (df==N)
       qwIdf: Double, // tf-idf: w(t,q)·idf(t) — per-tf-unit cosine numerator factor
       qb: Double)    // bm25:  qtf·idf25(t)
 
@@ -56,7 +57,7 @@ class Searcher(index: IndexView) extends Serializable {
       val qtf = freq(ts.term)
       val wq = (qtf / maxQtf) * ts.idf
       QueryTerm(ts.term_id, qtf, ts.idf, ts.bm25_idf,
-        wq * ts.idf, qtf * ts.bm25_idf)
+        wq, wq * ts.idf, qtf * ts.bm25_idf)
     }
   }
 
@@ -99,10 +100,12 @@ class Searcher(index: IndexView) extends Serializable {
 
     val qwIdf = qts.map(q => q.termId -> q.qwIdf).toMap
     val qb = qts.map(q => q.termId -> q.qb).toMap
-    val qNorm = math.sqrt(qts.map { q =>
-      val wq = q.qwIdf / q.idf // recover w(t,q)
-      wq * wq
-    }.sum)
+    // w(t,q) is carried on QueryTerm, never recovered as qwIdf/idf: a query
+    // term present in EVERY doc has idf = log10(N/N) = 0, and 0/0 = NaN would
+    // poison qNorm (NaN sorts above all doubles in Spark SQL, so it would
+    // both survive the score > 0 filter and win the top-k). Such a term
+    // contributes w = 0, exactly as the reference (ir_manager.py:69-96).
+    val qNorm = math.sqrt(qts.map(q => q.qw * q.qw).sum)
     if (qNorm == 0.0 && scorer == TfIdfCosine) return empty
 
     val qwIdfMap = typedLit(qwIdf)

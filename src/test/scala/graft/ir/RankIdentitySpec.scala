@@ -48,6 +48,32 @@ class RankIdentitySpec extends SparkSpec {
     runSet(view, Oracle.index(Fixtures.synthCorpus(spark, 200), cfg), "synth")
   }
 
+  test("query term with df == N (idf = 0) contributes zero, never NaN") {
+    // regression (VERDICT r1 #1): w(t,q) recovered as qwIdf/idf was 0/0 = NaN
+    // for a ubiquitous term; NaN passes `score > 0` and sorts first in Spark.
+    import spark.implicits._
+    val corpus = Seq(
+      "c1" -> "comun raro extra",
+      "c2" -> "comun otra cosa",
+      "c3" -> "comun cosa extra",
+      "c4" -> "comun otra palabra")
+    val turns = corpus.map { case (c, t) =>
+      Turn(c, 0, "user", t, null, new java.sql.Timestamp(0L))
+    }.toDF()
+    val view = IndexBuilder.build(spark, turns)
+    val oracle = Oracle.index(corpus)
+    val s = new Searcher(view)
+    for (q <- Seq("comun raro", "comun comun raro cosa")) {
+      val got = hits(s.search(spark, q, K, Or, TfIdfCosine))
+      assert(got.forall(h => !h._2.isNaN), s"NaN score for '$q': $got")
+      assertIdentical(got, oracle.evaluateCosine(q, Or).take(K), s"df==N cosine '$q'")
+      assertIdentical(hits(s.search(spark, q, K, Or, Bm25)),
+        oracle.evaluateBm25(q, Or).take(K), s"df==N bm25 '$q'")
+    }
+    // query of ONLY the ubiquitous term: qNorm = 0 → reference returns nothing
+    assert(s.search(spark, "comun", K, Or, TfIdfCosine).count() == 0)
+  }
+
   test("empty and fully-OOV queries short-circuit to empty results") {
     val view = IndexBuilder.build(spark, Fixtures.tp2Turns(spark))
     val s = new Searcher(view)
