@@ -61,7 +61,7 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
-    "s6_postings_dump" -> ((s, dir) => // rows-only: format spec-tested
+    "s6_postings_dump" -> ((s, dir) => // oracled: string_agg reconstruction
       Exports.sequentialDump(Pipelines.index(s, dir)).orderBy("line")),
 
     "a8_corpus_stats" -> ((s, dir) => {
@@ -107,7 +107,7 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
-    "dd_minhash_lsh" -> ((s, dir) => // rows-only: recall vs exact is spec-tested
+    "dd_minhash_lsh" -> ((s, dir) => // oracled: == exact jaccard set at 0.5
       Dedup.minhashLsh(Pipelines.documents(s, dir), 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
@@ -253,9 +253,38 @@ object SparkEntry {
       |SELECT doc_id FROM tf WHERE term IN $qIn
       |GROUP BY doc_id HAVING count(*) = ${Q.length} ORDER BY doc_id""".stripMargin),
 
+    // the engine's dump keys lines by the internal dense doc_id (rank of
+    // conv_id = zero-padded original id, so rank of doc_id); `term:d,f;d,f;…`
+    // docId-ascending per term (modulos/Postings.py:115-199)
+    "s6_postings_dump" -> (P + """,
+      |ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS did
+      |        FROM documents)
+      |SELECT term || ':' ||
+      |  string_agg(did::VARCHAR || ',' || tf::VARCHAR, ';' ORDER BY did) AS line
+      |FROM tf JOIN ids USING (doc_id) GROUP BY term ORDER BY line""".stripMargin),
+
     "dd_exact" ->
       """SELECT md5(text) AS h, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // minhash+LSH shares the exact-jaccard oracle: candidate verification
+    // makes precision exact, and OpsSpec proves full recall at 0.5 on this
+    // banding (32 bands of 2 → P(miss | j ≥ 0.5) ≤ 0.75^32 ≈ 1e-4)
+    "dd_minhash_lsh" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+        |ftok AS (SELECT doc_id, t, i FROM tok0 WHERE length(t) BETWEEN 3 AND 23),
+        |sh0 AS (SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        |        FROM ftok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -85,7 +85,17 @@ object Dedup {
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
 
-    verifyJaccard(pairs, sets, threshold)
+    releasing(sets)(verifyJaccard(pairs, sets, threshold))
+  }
+
+  /** Materialize `result` (localCheckpoint truncates its lineage into
+    * executor storage), then drop the intermediate cache — long-lived
+    * drivers (serving loops, Bench) otherwise leak executor storage one
+    * cached shingle/signature table per call (ADVICE r1). */
+  private def releasing(cached: DataFrame)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   private val udafBands = udf((sig: Seq[Long]) =>
@@ -123,22 +133,29 @@ object Dedup {
       maxPostings: Int = 5000): DataFrame = {
     val sets = shingleSets(docs, cfg)
       .withColumn("sz", size(col("sh")))
+      .cache()
     val exploded = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
-    val pruned = exploded
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+    // skew valve via one hash aggregation (map-side partial) + join — NOT a
+    // window over the shingle key: count().over(partitionBy("s")) materializes
+    // the hottest shingle's entire partition on a single reducer, exactly the
+    // straggler this valve exists to prevent (VERDICT r1 #3). The join keys on
+    // `s` like the self-join below, so the exchange is reused, and AQE can
+    // skew-split a join where it cannot split a window.
+    val allowed = exploded.groupBy("s").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") <= maxPostings)
+      .select("s")
+    val pruned = exploded.join(allowed, "s")
     val inter = pruned.alias("a")
       .join(pruned.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    releasing(sets)(inter
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard"))
   }
 
   /** 64-bit SimHash per doc (token-frequency weighted). */
@@ -170,7 +187,8 @@ object Dedup {
     require(maxHamming <= 3, "4-band pigeonhole covers hamming<=3")
     val spark = docs.sparkSession
     val shUdf = udf((t: String) => simhash64(Analyzer.analyze(t, cfg)))
-    val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sim")).cache()
+    // single downstream consumer — no cache needed (ADVICE r1 storage leak)
+    val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -206,12 +224,19 @@ object Dedup {
     * pairs where this path takes ~1 s). Large corpora: random-hyperplane
     * signature buckets generate candidates (two half-signature bands →
     * any pair within hamming 1 of the full signature collides), then exact
-    * verification — the same candidates-then-verify shape as MinHash. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * verification — the same candidates-then-verify shape as MinHash.
+    * Only (vec_id, band, bucket) rows cross the band shuffle; vectors are
+    * fetched by id for the verify join, and `maxBucket` drops degenerate
+    * buckets (all-identical boilerplate) instead of going quadratic. */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double,
+      maxBucket: Int = 10000,
+      bruteLimit: Long = EmbeddingBruteLimit): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = embeddings.count()
-    if (n <= EmbeddingBruteLimit) {
+    if (n <= bruteLimit) {
       val rows = embeddings.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
@@ -231,23 +256,32 @@ object Dedup {
         }
         .toDF("doc_a", "doc_b", "cosine")
     } else {
-      // scale path: half-signature band buckets → candidate pairs → exact dot
+      // scale path: 16-plane signature split into 3 bands (6/5/5 bits) →
+      // candidate id pairs → fetch vectors by id → exact dot. Pigeonhole:
+      // any pair within hamming 2 of the 16-bit signature shares ≥1 exact
+      // band. The band shuffle carries 3 longs per row, never the embedding
+      // arrays (VERDICT r1 #4).
       val seed = 42L
-      val sigUdf = udf((v: Seq[Float]) => Similarity.signature(v, seed))
-      val sigs = embeddings
-        .select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
-      val banded = sigs.select(col("vec_id"), col("embedding"), explode(array(
-        struct(lit(0).as("band"), (col("sig") % 16).as("v")),
-        struct(lit(1).as("band"), (col("sig") / 16).as("v")))).as("bb"))
-        .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.v"))
-      val a = banded.select(col("band"), col("v"),
-        col("vec_id").as("doc_a"), col("embedding").as("ea"))
-      val b = banded.select(col("band"), col("v"),
-        col("vec_id").as("doc_b"), col("embedding").as("eb"))
-      a.join(b, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
+      val sigUdf = udf((v: Seq[Float]) => Similarity.signature(v, seed, 16))
+      val banded = embeddings
+        .select(col("vec_id"), sigUdf(col("embedding")).as("sig"))
+        .select(col("vec_id"), explode(array(
+          struct(lit(0).as("band"), (col("sig").bitwiseAND(lit(0x3F))).as("v")),
+          struct(lit(1).as("band"), shiftrightunsigned(col("sig"), 6).bitwiseAND(lit(0x1F)).as("v")),
+          struct(lit(2).as("band"), shiftrightunsigned(col("sig"), 11).bitwiseAND(lit(0x1F)).as("v")))).as("bb"))
+        .select(col("vec_id"), col("bb.band"), col("bb.v"))
+      val pairs = banded.groupBy("band", "v")
+        .agg(collect_list("vec_id").as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+        .select(explode(pairsUdf(col("ids"))).as("p"))
+        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+        .distinct()
+      pairs
+        .join(embeddings.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+        .join(embeddings.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
         .withColumn("cosine", Similarity.dotCol(col("ea"), col("eb")))
         .filter(col("cosine") >= threshold)
-        .select("doc_a", "doc_b", "cosine").distinct()
+        .select("doc_a", "doc_b", "cosine")
     }
   }
 }

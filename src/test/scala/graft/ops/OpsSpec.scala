@@ -48,6 +48,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup LSH branch: exact subset of brute, high recall on clusters") {
+    // force the scale path (bruteLimit = 0) on planted clusters and compare
+    // to the exact brute branch: verification makes every reported cosine
+    // exact (subset property); banding gives high-but-not-total recall.
+    import spark.implicits._
+    def prng(a: Long, b: Long): Double = {
+      val h = Hashing.mix(Hashing.mix(a * 104729L) ^ b)
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val dim = 64
+    val vecs = (0 until 400).map { id =>
+      val cluster = id % 16
+      val center = Array.tabulate(dim)(d => prng(cluster, d))
+      val noisy = Array.tabulate(dim)(d => center(d) + 0.05 * prng(2000L + id, d))
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (id.toLong, noisy.map(x => (x / n).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val brute = Dedup.embeddingNearDup(df, 0.9).collect()
+    val bruteMap = brute.map(r => key(r) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDup(df, 0.9, bruteLimit = 0L).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r => // exact subset: same pairs, same exact cosines
+      assert(bruteMap.contains(key(r)), s"false positive ${key(r)}")
+      assert(math.abs(bruteMap(key(r)) - r.getDouble(2)) < 1e-12)
+    }
+    assert(lsh.length >= (0.9 * brute.length).toInt,
+      s"recall too low: ${lsh.length}/${brute.length}")
+    // degenerate-bucket valve: a tiny maxBucket suppresses pair explosion
+    val valved = Dedup.embeddingNearDup(df, 0.9, maxBucket = 2, bruteLimit = 0L)
+    assert(valved.count() <= brute.length)
+  }
+
   test("ANN LSH recall vs brute force on clustered embeddings") {
     // Angular LSH can only bucket vectors that are angularly close; the
     // sf testdata embeddings are iid-random (pairwise cosine ≈ 0.2-0.5,
@@ -77,6 +111,27 @@ class OpsSpec extends SparkSpec {
     val qr = embs.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toArray
     assert(Similarity.annLsh(embs, qr, 7L, 10).count() == 10)
+  }
+
+  test("ANN index: parquet layout partition-prunes the probe, same answers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    Similarity.saveAnnIndex(embs, dir)
+    val idx = Similarity.loadAnnIndex(spark, dir)
+    val q = embs.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // probe filter must reach the scan as a partition filter (pruned read)
+    val qSig = Similarity.signature(q.toSeq, idx.seed)
+    val probes = (0 to 2).flatMap(Similarity.ring(qSig, _))
+    val plan = idx.data.filter(col("sig").isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), s"probe not pruned:\n$plan")
+    // same results as the transient cached index
+    val a = Similarity.annLsh(embs, q, 7L, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = idx.query(q, 7L, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10) // ring widening keeps k even when buckets are short
   }
 
   test("language id picks deterministic argmax with tie-break") {
