@@ -1,6 +1,6 @@
 package graft.ir
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 sealed trait QueryMode
@@ -35,7 +35,7 @@ class Searcher(index: IndexView) extends Serializable {
 
   /** Query term weights after analysis + OOV drop. */
   private[graft] case class QueryTerm(
-      termId: Long, qtf: Int, idf: Double, bm25Idf: Double,
+      termId: Long, qtf: Int, df: Long, idf: Double, bm25Idf: Double,
       qw: Double,    // tf-idf: w(t,q) = (qtf/maxqtf)·idf(t) — 0 when idf=0 (df==N)
       qwIdf: Double, // tf-idf: w(t,q)·idf(t) — per-tf-unit cosine numerator factor
       qb: Double)    // bm25:  qtf·idf25(t)
@@ -45,34 +45,85 @@ class Searcher(index: IndexView) extends Serializable {
     if (terms.isEmpty) return Seq.empty
     val freq: Map[String, Int] =
       terms.groupBy(identity).map { case (t, g) => t -> g.length }
-    // J2/P9: broadcast-style lookup of the (tiny) query term set against the
-    // dictionary; terms missing from the vocabulary are dropped exactly as
-    // the reference drops them (Model/Query.java:33-41)
-    val rows = index.termDict
-      .filter(col("term").isin(freq.keys.toSeq: _*))
-      .collect()
+    // J2/P9: O(1) lookup against the driver-resident vocabulary (the
+    // reference loads it once at server start, Model/Vocabulary.java:33-42);
+    // above the size guard, a pushed-filter dictionary scan. Terms missing
+    // from the vocabulary are dropped exactly as the reference drops them
+    // (Model/Query.java:33-41).
+    val rows: Seq[TermStat] = index.termLookup match {
+      case Some(dict) => freq.keys.iterator.flatMap(dict.get).toSeq
+      case None => index.termDict
+        .filter(col("term").isin(freq.keys.toSeq: _*))
+        .collect().toSeq
+    }
     if (rows.isEmpty) return Seq.empty
     val maxQtf = freq.values.max.toDouble
-    rows.toSeq.map { ts =>
+    rows.sortBy(_.term_id).map { ts =>
       val qtf = freq(ts.term)
       val wq = (qtf / maxQtf) * ts.idf
-      QueryTerm(ts.term_id, qtf, ts.idf, ts.bm25_idf,
+      QueryTerm(ts.term_id, qtf, ts.df, ts.idf, ts.bm25_idf,
         wq, wq * ts.idf, qtf * ts.bm25_idf)
     }
   }
 
-  /** Decoded candidate postings for a term set: (doc_id, term_id, tf). */
-  private[graft] def decodedPostings(
-      spark: SparkSession, termIds: Seq[Long]): DataFrame = {
+  /** Decode a block set to (term_id, doc_id, tf) rows. */
+  private[graft] def decodeBlocks(blocks: Dataset[Block]): DataFrame = {
+    val spark = blocks.sparkSession
     import spark.implicits._
-    index.postings
-      .filter(col("term_id").isin(termIds: _*))
+    blocks
       .flatMap { blk =>
         Codec.decodeBlock(blk).iterator.map { case (d, tf) =>
           (blk.term_id, d, tf)
         }
       }
       .toDF("term_id", "doc_id", "tf")
+  }
+
+  /** Decoded candidate postings for a term set: (doc_id, term_id, tf). */
+  private[graft] def decodedPostings(
+      spark: SparkSession, termIds: Seq[Long]): DataFrame =
+    decodeBlocks(index.postings.filter(col("term_id").isin(termIds: _*)))
+
+  /** Above this many blocks the rare term's interval list is not collected
+    * and AND skip pruning is disabled (≈1M docs at BlockSize 128). */
+  private[graft] val AndSkipMaxBlocks: Long = 8192L
+
+  /**
+   * J4 block-skip for AND queries — the Spark form of the reference's √df
+   * skip-pointer leapfrog (modulos/Postings.py:376-411): collect the rarest
+   * term's block ranges (disjoint, docId-ascending: salt ranges are ordered
+   * and append batches start past the old max), then decode other terms'
+   * blocks only where [first_doc_id, last_doc_id] overlaps one of them. Any
+   * doc in a skipped block is absent from the rare term's postings, so it
+   * can never reach match-count == |q| — pruning is lossless. A
+   * stopword-grade term AND a rare term now decodes O(df_rare/BlockSize)
+   * hot blocks instead of the hot term's entire posting list.
+   */
+  private[graft] def andSurvivorBlocks(
+      spark: SparkSession, qts: Seq[QueryTerm]): Option[Dataset[Block]] = {
+    val rare = qts.minBy(q => (q.df, q.termId))
+    if (rare.df / Codec.BlockSize + 1 > AndSkipMaxBlocks) return None
+    val intervals = index.postings
+      .filter(col("term_id") === rare.termId)
+      .select("first_doc_id", "last_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    if (intervals.isEmpty) return None // dict/postings drift: fall back
+    val starts = intervals.map(_._1)
+    val ends = intervals.map(_._2) // ascending too (disjoint, start-sorted)
+    val others = qts.map(_.termId).filter(_ != rare.termId)
+    val overlaps = udf((first: Long, last: Long) => {
+      var lo = 0
+      var hi = starts.length // lo → first interval with start > last
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (starts(m) <= last) lo = m + 1 else hi = m
+      }
+      lo > 0 && ends(lo - 1) >= first
+    })
+    Some(index.postings.filter(
+      col("term_id") === rare.termId ||
+        (col("term_id").isin(others: _*) &&
+          overlaps(col("first_doc_id"), col("last_doc_id")))))
   }
 
   def search(
@@ -82,7 +133,11 @@ class Searcher(index: IndexView) extends Serializable {
       mode: QueryMode = Or,
       scorer: Scorer = TfIdfCosine): DataFrame = {
     val qts = queryTerms(spark, query)
-    scoreTerms(spark, qts, k, mode, scorer, None)
+    val pruned =
+      if (mode == And && qts.length > 1)
+        andSurvivorBlocks(spark, qts).map(decodeBlocks)
+      else None
+    scoreTerms(spark, qts, k, mode, scorer, pruned)
   }
 
   /** Shared scoring tail; `onlyBlocks` lets the WAND path substitute a
@@ -193,6 +248,8 @@ class Searcher(index: IndexView) extends Serializable {
 
     val bk1 = cfg.k1; val bb = cfg.b
     val bAvgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+    def sat(tf: Double, dl: Double): Double =
+      (tf * (bk1 + 1)) / (tf + bk1 * (1 - bb + bb * dl / bAvgdl))
     val bIdfLit = typedLit(qts.map(q => q.termId -> q.bm25Idf).toMap)
     // per-block sound upper bound on the BM25 per-posting term score; the
     // query-side multiplier for doc contributions is then qtf alone
@@ -200,27 +257,58 @@ class Searcher(index: IndexView) extends Serializable {
       (col("max_tf") * (bk1 + 1)) /
       (col("max_tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("min_dl")))
 
-    // per-term global max BM25 doc weight, from block metadata only
-    val gmax: Map[Long, Double] = index.postings
-      .filter(col("term_id").isin(termIds: _*))
-      .withColumn("bound", blockBound)
-      .groupBy("term_id").agg(max("bound").as("m"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // per-term global max BM25 doc weight: ZERO jobs from the view's
+    // driver-resident term-level block bounds (sound: s is increasing in tf,
+    // decreasing in dl, so pairing the term-wide max_tf with the term-wide
+    // min_dl only raises the bound); per-query metadata agg above the guard
+    val gmax: Map[Long, Double] = index.wandTermBounds match {
+      case Some(tb) =>
+        qts.map(q => q.termId -> (tb.get(q.termId) match {
+          case Some((mt, md)) => q.bm25Idf * sat(mt.toDouble, md.toDouble)
+          case None => 0.0
+        })).toMap
+      case None => index.postings
+        .filter(col("term_id").isin(termIds: _*))
+        .withColumn("bound", blockBound)
+        .groupBy("term_id").agg(max("bound").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
 
     val tStar = qts.maxBy(q => q.qtf * gmax.getOrElse(q.termId, 0.0))
+    // θ = k-th largest EXACT t*-only contribution among ≥ k real docs (each
+    // doc's total ≥ its t* contribution, so θ lower-bounds the k-th best
+    // total). r1 decoded t*'s ENTIRE posting list for this (VERDICT #5);
+    // now only its k most promising blocks by block-max bound — each block
+    // carries ≥ 1 posting, so k blocks yield ≥ k exact contributions, and a
+    // k-th-largest over a subset is still a sound (≤) lower bound.
     val theta: Double = {
-      val k1 = cfg.k1; val b = cfg.b
-      val avgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
-      val qbStar = tStar.qb
-      val top = decodedPostings(spark, Seq(tStar.termId))
-        .join(index.docStats.select("doc_id", "doc_len"), "doc_id")
-        .withColumn("c", lit(qbStar) * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
-        .orderBy(col("c").desc).limit(k)
-        .agg(min("c"), count(lit(1))).head()
       // fewer than k docs carry t* → θ would not be a sound k-th-total lower
       // bound (the final top-k may need docs below it) → disable pruning
-      if (top.isNullAt(0) || top.getLong(1) < k) 0.0 else top.getDouble(0)
+      if (tStar.df < k) 0.0
+      else {
+        val blks = index.postings
+          .filter(col("term_id") === tStar.termId)
+          .withColumn("bound", blockBound)
+          .orderBy(col("bound").desc)
+          .limit(k)
+          .drop("bound")
+          .as[Block]
+          .collect()
+        val posts = blks.flatMap(Codec.decodeBlock) // (doc_id, tf), docs distinct
+        val dls: Map[Long, Long] = index.docStats
+          .filter(col("doc_id").isin(posts.map(_._1).toSeq: _*))
+          .select("doc_id", "doc_len")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val cs = posts
+          .map { case (d, tf) =>
+            // missing stat (impossible in a consistent index) → dl = ∞ → a
+            // smaller contribution → θ only shrinks: still sound
+            val dl = dls.getOrElse(d, Long.MaxValue).toDouble
+            tStar.qb * sat(tf.toDouble, dl)
+          }
+          .sorted(Ordering[Double].reverse)
+        if (cs.length < k) 0.0 else cs(k - 1)
+      }
     }
 
     val sumGmax = qts.map(q => q.qtf * gmax.getOrElse(q.termId, 0.0)).sum

@@ -74,6 +74,46 @@ class RankIdentitySpec extends SparkSpec {
     assert(s.search(spark, "comun", K, Or, TfIdfCosine).count() == 0)
   }
 
+  test("AND block-skip decodes fewer blocks for rare∧hot and stays lossless") {
+    import org.apache.spark.sql.functions.col
+    val cfg = BuildConfig(saltRange = 64)
+    val view = IndexBuilder.build(spark, Fixtures.synthTurns(spark, 200), cfg)
+    val oracle = Oracle.index(Fixtures.synthCorpus(spark, 200), cfg)
+    val s = new Searcher(view)
+    val dict = view.termDict.collect()
+    val hot = dict.maxBy(t => (t.df, t.term))
+    val rare = dict.minBy(t => (t.df, t.term))
+    assert(rare.df < hot.df, "fixture needs df spread")
+    val q = s"${rare.term} ${hot.term}"
+    val qts = s.queryTerms(spark, q)
+    val survivors = s.andSurvivorBlocks(spark, qts)
+    assert(survivors.isDefined)
+    val nAll = view.postings
+      .filter(col("term_id").isin(qts.map(_.termId): _*)).count()
+    val nSurv = survivors.get.count()
+    assert(nSurv < nAll, s"no blocks skipped: $nSurv of $nAll")
+    assertIdentical(hits(s.search(spark, q, K, And, Bm25)),
+      oracle.evaluateBm25(q, And).take(K), s"and-skip '$q'")
+    assertIdentical(hits(s.search(spark, q, K, And, TfIdfCosine)),
+      oracle.evaluateCosine(q, And).take(K), s"and-skip cosine '$q'")
+  }
+
+  test("above the driver-dict guard, lookup/WAND fall back with identical results") {
+    val view = IndexBuilder.build(spark, Fixtures.tp2Turns(spark))
+    // forcing meta.terms over the limit disables termLookup + wandTermBounds
+    val big = view.copy(meta = view.meta.copy(terms = IndexView.DriverDictLimit + 1))
+    assert(big.termLookup.isEmpty && big.wandTermBounds.isEmpty)
+    assert(view.termLookup.isDefined && view.wandTermBounds.isDefined)
+    val a = new Searcher(view)
+    val b = new Searcher(big)
+    Fixtures.referenceQueries.distinct.foreach { q =>
+      assertIdentical(hits(b.search(spark, q, K, Or, Bm25)),
+        hits(a.search(spark, q, K, Or, Bm25)), s"fallback OR '$q'")
+      assertIdentical(hits(b.searchBm25Wand(spark, q, K)),
+        hits(a.searchBm25Wand(spark, q, K)), s"fallback WAND '$q'")
+    }
+  }
+
   test("empty and fully-OOV queries short-circuit to empty results") {
     val view = IndexBuilder.build(spark, Fixtures.tp2Turns(spark))
     val s = new Searcher(view)

@@ -29,6 +29,24 @@ class ServiceSpec extends SparkSpec {
     assert(m0.nonEmpty)
   }
 
+  test("S13: flushMetrics appends a durable query_metrics table across services") {
+    val dir = graft.SparkSpec.tmpDir("svc-metrics") + "/query_metrics.parquet"
+    val svc = new QueryService(view)
+    svc.search(spark, "pais libre")
+    svc.search(spark, "tecnologia")
+    assert(svc.flushMetrics(spark, dir) == 2)
+    assert(svc.flushMetrics(spark, dir) == 0) // nothing new → no-op
+    svc.search(spark, "estado")
+    assert(svc.flushMetrics(spark, dir) == 1) // only the delta
+    val svc2 = new QueryService(view) // "restart": a fresh service appends
+    svc2.search(spark, "pais")
+    svc2.flushMetrics(spark, dir)
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 4)
+    assert(rows.schema.fieldNames.toSet ==
+      Set("query", "n_terms", "matches", "millis", "cached", "mode", "scorer"))
+  }
+
   test("T3: pagination tiles the full ranking without overlap") {
     val svc = new QueryService(view)
     val all = svc.search(spark, "pais libre software", 30).map(_.getLong(0)).toSeq
