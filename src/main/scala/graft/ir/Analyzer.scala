@@ -19,9 +19,14 @@ import java.text.Normalizer
  *   5. drop stopwords (list itself normalized with the same tokenizer)
  *   6. keep terms with minLen <= length <= maxLen
  *
- * Regex special-token extraction and Snowball stemming are intentionally OFF
- * (optional in the reference config; the reference query side never applies
- * them, so leaving them off preserves index/query symmetry — SURVEY.md §1.3).
+ * Regex special-token extraction and Snowball stemming are OFF by default
+ * (optional in the reference config; its query side ships with them off, so
+ * the default profile preserves the reference's index/query symmetry —
+ * SURVEY.md §1.3). Both are available: `regex = true` runs the P8 extractor
+ * pre-pass (RegexTokens), `stem = Some("en"|"es")` stems after the stopword
+ * filter and before the length filter, the reference's exact ordering
+ * (LexAnalyser.py:52-60). Because analyze() is shared verbatim by build and
+ * query sides, enabling either keeps symmetry automatically.
  *
  * Pure function of (config, input); no locale, wall-clock, or partition-order
  * dependence, so it is safe inside distributed UDFs at any parallelism.
@@ -29,7 +34,9 @@ import java.text.Normalizer
 final case class AnalyzerConfig(
     stopwords: Set[String],
     minLen: Int,
-    maxLen: Int) extends Serializable
+    maxLen: Int,
+    stem: Option[String] = None,
+    regex: Boolean = false) extends Serializable
 
 object Analyzer extends Serializable {
 
@@ -104,12 +111,23 @@ object Analyzer extends Serializable {
     sb.toString.split("\\s+").filter(_.nonEmpty)
   }
 
-  /** Full analysis: tokenize then stopword + length filters. */
-  def analyze(line: String, cfg: AnalyzerConfig): Array[String] =
-    tokenize(line).filter { t =>
-      t.length >= cfg.minLen && t.length <= cfg.maxLen &&
-        !cfg.stopwords.contains(t)
+  /** Full analysis, reference ordering (LexAnalyser.analyse): optional regex
+    * pre-pass → tokenize → stopword filter → optional stem → length filter →
+    * regex special terms appended unfiltered. */
+  def analyze(line: String, cfg: AnalyzerConfig): Array[String] = {
+    if (line == null) return Array.empty
+    val (special, rest) =
+      if (cfg.regex) { val e = RegexTokens(line); (e.terms, e.remaining) }
+      else (Seq.empty[String], line)
+    val kept = tokenize(rest).filter(t => !cfg.stopwords.contains(t))
+    val stemmed = cfg.stem match {
+      case Some(lang) => val f = Stemmer(lang); kept.map(f)
+      case None => kept
     }
+    val filtered = stemmed.filter(t =>
+      t.length >= cfg.minLen && t.length <= cfg.maxLen)
+    if (special.isEmpty) filtered else filtered ++ special
+  }
 
   def analyze(line: String): Array[String] = analyze(line, Reference)
 }

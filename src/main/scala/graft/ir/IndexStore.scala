@@ -87,6 +87,8 @@ object IndexStore {
       s"minLen\t${a.minLen}",
       s"maxLen\t${a.maxLen}",
       s"stopwords\t${a.stopwords.toSeq.sorted.mkString(",")}",
+      s"stem\t${a.stem.getOrElse("")}",
+      s"regex\t${a.regex}",
       s"k1\t${cfg.k1}",
       s"b\t${cfg.b}",
       s"saltRange\t${cfg.saltRange}",
@@ -108,7 +110,9 @@ object IndexStore {
       analyzer = AnalyzerConfig(
         stopwords = kv("stopwords").split(",").filter(_.nonEmpty).toSet,
         minLen = kv("minLen").toInt,
-        maxLen = kv("maxLen").toInt),
+        maxLen = kv("maxLen").toInt,
+        stem = kv.get("stem").filter(_.nonEmpty),
+        regex = kv.get("regex").exists(_.toBoolean)),
       k1 = kv("k1").toDouble,
       b = kv("b").toDouble,
       saltRange = kv("saltRange").toLong,
@@ -146,6 +150,23 @@ object IndexStore {
 
     val acfg = cfg.analyzer
     val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
+
+    // deterministic input signature, recorded before any stage and required
+    // to match on resume: without it a build killed mid-way and re-run
+    // against a DIFFERENT turns table would silently combine stages computed
+    // from two corpora (ADVICE r1; the append path already guards with the
+    // same b$N:begin discipline)
+    val inputSig = {
+      val r = turns.select("conv_id").distinct()
+        .selectExpr("count(*) c", "coalesce(bit_xor(xxhash64(conv_id)), 0) x").head()
+      s"n=${r.getLong(0)},x=${r.getLong(1)}"
+    }
+    done.get("begin").foreach { rec =>
+      require(rec.detail == inputSig,
+        s"index at $dir was begun from a different input (stored ${rec.detail}, " +
+          s"given $inputSig); resume must use the original turns table")
+    }
+    stage("begin", inputSig) { 0L }
 
     stage("doc_map", "dense-docId over distinct conv_id") {
       IndexBuilder.zipWithDenseId(

@@ -61,10 +61,9 @@ object RegexTokens extends Serializable {
 
   /** Full analysis with the regex pre-pass: normal pipeline over the
     * stripped line, special terms appended unfiltered (reference
-    * `LexAnalyser.analyse` ordering). */
-  def analyzeWithRegex(line: String, cfg: AnalyzerConfig): Array[String] = {
-    if (line == null) return Array.empty
-    val ex = apply(line)
-    Analyzer.analyze(ex.remaining, cfg) ++ ex.terms
-  }
+    * `LexAnalyser.analyse` ordering). Equivalent to setting `regex = true`
+    * on the config — Analyzer.analyze owns the orchestration now that the
+    * flag is wired into AnalyzerConfig. */
+  def analyzeWithRegex(line: String, cfg: AnalyzerConfig): Array[String] =
+    Analyzer.analyze(line, cfg.copy(regex = true))
 }

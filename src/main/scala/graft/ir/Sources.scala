@@ -26,14 +26,26 @@ object Sources {
 
   def fromTextDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.wholeTextFiles(s"$dir/**")
-      .filter { case (path, _) => !path.contains("/.") } // dotfiles
-      .filter { case (path, _) =>
-        // reference indexes only *.txt when the corpus mixes types; accept
-        // extensionless files too (the tp2 fixture corpus has none)
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        !name.contains('.') || name.endsWith(".txt")
-      }
+    import org.apache.hadoop.fs.{Path => HPath}
+    // explicit recursive FS walk: Hadoop's `**` glob is NOT recursive (it
+    // behaves like `*`, silently skipping trees deeper than two levels —
+    // ADVICE r1); the reference walks the whole tree (Collection.py:25-31).
+    // Driver-side listing is O(files), the same cost the reference pays.
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val p = f.getPath.toUri.getPath
+      // reference indexes only *.txt when the corpus mixes types; accept
+      // extensionless files too (the tp2 fixture corpus has none)
+      if (!p.contains("/.") && (!name.contains('.') || name.endsWith(".txt")))
+        files += f.getPath.toString
+    }
+    if (files.isEmpty) return spark.emptyDataset[Turn].toDF()
+    spark.sparkContext.wholeTextFiles(files.sorted.mkString(","))
       .flatMap { case (path, content) =>
         val conv = path
         content.split("\r?\n", -1).iterator.zipWithIndex

@@ -50,8 +50,8 @@ class DeterminismResumeSpec extends SparkSpec {
     val dirPart = graft.SparkSpec.tmpDir("idx-part")
     IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
     val manifest = Paths.get(dirPart, "_manifest.tsv")
-    val keepStages = Set("doc_map", "tf", "term_dict", "doc_stats", "posting_rows",
-      "postings:bucket=0", "postings:bucket=1")
+    val keepStages = Set("begin", "doc_map", "tf", "term_dict", "doc_stats",
+      "posting_rows", "postings:bucket=0", "postings:bucket=1")
     val kept = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
       .filter(l => keepStages.contains(l.split("\t")(0)))
     Files.write(manifest, kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
@@ -85,6 +85,20 @@ class DeterminismResumeSpec extends SparkSpec {
     val mem = IndexBuilder.build(spark, turns, BuildConfig(buckets = 4))
     assert(postingsDump(staged) == postingsDump(mem))
     assert(dictDump(staged) == dictDump(mem))
+  }
+
+  test("resuming a base build against a different input is refused") {
+    val dir = graft.SparkSpec.tmpDir("idx-sig")
+    IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 60), dir)
+    // same config, different corpus → the begin-signature guard must fire
+    // (before it, stages from two corpora silently combined — ADVICE r1)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 61), dir)
+    }
+    assert(e.getMessage.contains("different input"))
+    // same input resumes fine (everything skipped)
+    val v = IndexStore.buildAndSave(spark, Fixtures.synthTurns(spark, 60), dir)
+    assert(v.meta.docs == 60)
   }
 
   test("build config is persisted with the index and wins on load") {

@@ -9,11 +9,18 @@ import graft.SparkSpec
   * the equivalent transcript table. */
 class SourcesSpec extends SparkSpec {
 
-  test("text-dir corpus == transcript-table corpus (tp2)") {
+  test("text-dir corpus == transcript-table corpus (tp2), depth-3 tree") {
     val dir = graft.SparkSpec.tmpDir("corpus")
-    Files.createDirectories(Paths.get(dir, "sub"))
+    Files.createDirectories(Paths.get(dir, "sub", "subsub", "deep"))
     Fixtures.tp2.zipWithIndex.foreach { case ((_, terms), i) =>
-      val where = if (i % 2 == 0) s"$dir/doc$i.txt" else s"$dir/sub/doc$i.txt"
+      // spread over depths 1..4: the walk must be truly recursive (ADVICE
+      // r1: the `**` glob silently dropped trees below two levels)
+      val where = i match {
+        case 0 => s"$dir/doc$i.txt"
+        case 1 => s"$dir/sub/doc$i.txt"
+        case 2 => s"$dir/sub/subsub/doc$i.txt"
+        case _ => s"$dir/sub/subsub/deep/doc$i.txt"
+      }
       Files.write(Paths.get(where),
         terms.mkString("\n").getBytes(StandardCharsets.UTF_8))
     }
