@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ir._
+
+/** Focused serving-latency probe (perf tooling): Bench's latency section in
+  * isolation — 13 reference bot queries × 4 rounds, BM25 OR top-10, plus
+  * WAND, on the synth index. SPARK_GRAFT_CPUS / _CONVS control the run. */
+object LatencyProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val botQueries = Seq(
+      "primera consulta",
+      "universidad riqueza atletismo argentina estado nacion edificio comunicacion",
+      "tecnologia", "pais", "estado libre", "pais libre",
+      "perro libre finanzas religion estado morfologia",
+      "tecnologia libre", "ultima consulta", "pais libre", "estado libre",
+      "tecnologia", "pais")
+
+    val turns = Synth.turns(spark, nConvs).cache()
+    turns.count()
+    val view = IndexBuilder.build(spark, turns, BuildConfig()).pin()
+    view.termLookup; view.wandTermBounds // one-time serving warmup, untimed
+    val searcher = new Searcher(view)
+    def t(body: => Any): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    searcher.search(spark, "pais libre", 10).count() // warm
+    searcher.searchBm25Wand(spark, "pais libre", 10).count()
+    if (sys.env.contains("SPARK_GRAFT_PLAN")) {
+      val df = searcher.search(spark, "pais libre", 10, Or, Bm25)
+      df.count()
+      println(df.queryExecution.executedPlan.toString)
+    }
+
+    def pct(xs: Seq[Double], p: Double) = {
+      val s = xs.sorted; s(math.min(s.length - 1, (p * s.length).toInt))
+    }
+    val exact = (1 to 4).flatMap(_ => botQueries.map(q =>
+      t(searcher.search(spark, q, 10, Or, Bm25).count())))
+    val wand = (1 to 4).flatMap(_ => botQueries.map(q =>
+      t(searcher.searchBm25Wand(spark, q, 10).count())))
+    val and = (1 to 4).flatMap(_ => botQueries.map(q =>
+      t(searcher.search(spark, q, 10, And, Bm25).count())))
+    println(f"[latency] cpus=$cpus convs=$nConvs " +
+      f"exact p50=${pct(exact, 0.5)}%.3f p95=${pct(exact, 0.95)}%.3f | " +
+      f"wand p50=${pct(wand, 0.5)}%.3f p95=${pct(wand, 0.95)}%.3f | " +
+      f"and p50=${pct(and, 0.5)}%.3f p95=${pct(and, 0.95)}%.3f")
+    spark.stop()
+  }
+}

@@ -41,6 +41,29 @@ object PlanDump {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .explain("formatted")
 
+    println("==== AND block-skip: survivor block scan for rare∧hot ====")
+    val searcher = new Searcher(view)
+    val dict = view.termDict.collect()
+    val hot = dict.maxBy(_.df)
+    val rare = dict.minBy(_.df)
+    val qts = searcher.queryTerms(spark, s"${rare.term} ${hot.term}")
+    searcher.andSurvivorBlocks(spark, qts).foreach { surv =>
+      surv.explain("formatted")
+      val all = view.postings
+        .filter(col("term_id").isin(qts.map(_.termId): _*)).count()
+      println(s"blocks decoded: ${surv.count()} of $all " +
+        s"(rare df=${rare.df}, hot df=${hot.df})")
+    }
+
+    println("==== ANN index probe: sig partition pruning (parquet layout) ====")
+    val embs = spark.range(0, 2000).selectExpr(
+      "id as vec_id",
+      "transform(sequence(1, 16), i -> cast(sin(id * i) as float)) as embedding")
+    val annDir = java.nio.file.Files.createTempDirectory("plandump-ann").toString
+    graft.ops.Similarity.saveAnnIndex(embs, annDir)
+    val idx = graft.ops.Similarity.loadAnnIndex(spark, annDir)
+    idx.data.filter(col("sig").isin(0, 1, 2, 4, 8)).explain("formatted")
+
     spark.stop()
   }
 }

@@ -40,6 +40,23 @@ object Exports {
           .otherwise(col("tf") / col("max_tf") * col("idf")))
       .select("term_id", "doc_id", "tf", "weight")
 
+  /** S6 inverse: parse `term:doc,freq;…` lines back into (term, doc_id, tf)
+    * rows — the reference reads its text postings format back too
+    * (`GPU_server/ir_collection.c:116-166`). Accepts any DataFrame with a
+    * string `line` column (e.g. spark.read.text output). */
+  def parseSequentialDump(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(col("line")).as[String].flatMap { l =>
+      val i = l.indexOf(':')
+      val term = l.substring(0, i)
+      l.substring(i + 1).split(";").iterator.filter(_.nonEmpty).map { p =>
+        val j = p.indexOf(',')
+        (term, p.substring(0, j).toLong, p.substring(j + 1).toInt)
+      }
+    }.toDF("term", "doc_id", "tf")
+  }
+
   /** S6: `term:doc,freq;doc,freq;…` lines, docId-ascending per term. */
   def sequentialDump(view: IndexView): DataFrame =
     decodedPostings(view)

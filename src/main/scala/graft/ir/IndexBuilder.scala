@@ -45,12 +45,29 @@ final case class IndexView(
     * into GPU memory once (GpuServerHandler.java:178-284); here the hot
     * query-side tables are pinned in executor storage (deserialized in
     * memory, spilling to disk), materialized lazily on first query. Parquet
-    * stays the source of truth — pinning is a cache, not a copy. */
-  def pin(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): IndexView =
+    * stays the source of truth — pinning is a cache, not a copy.
+    *
+    * The pinned layout is the serving layout:
+    *  - postings are term_id-range-clustered + sorted, so a query's
+    *    `term_id IN` filter prunes cached batches via their min/max stats
+    *    (an unclustered cache deserializes EVERY batch per query — measured
+    *    p50 ~1 s vs ~0.3 s on the 400k-conv synth index);
+    *  - doc_stats is hash-partitioned + sorted on doc_id with the same
+    *    partition count the per-doc score aggregation produces, so the
+    *    scoring join needs no exchange and no sort on the stats side —
+    *    doc_stats never moves at query time, at any corpus size. */
+  def pin(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): IndexView = {
+    import org.apache.spark.sql.functions.col
+    val spark = postings.sparkSession
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     copy(
       termDict = termDict.persist(level),
-      postings = postings.persist(level),
-      docStats = docStats.persist(level))
+      postings = postings.repartitionByRange(parts, col("term_id"))
+        .sortWithinPartitions("term_id").persist(level),
+      docStats = docStats.repartition(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id").persist(level))
+  }
 
   def unpin(): IndexView = {
     termDict.unpersist(); postings.unpersist(); docStats.unpersist()
@@ -230,15 +247,17 @@ object IndexBuilder {
 
     // A3 + A7 in one pass: norm = sqrt(sum((tf*idf)^2)) / max_tf, exploiting
     // that max_tf is constant per doc so it factors out of the sum.
-    val tfWithIds = tf.join(
-        dim(termDict.select("term", "term_id", "idf", "bm25_idf").toDF(), nTerms), "term")
-      .select("doc_id", "term_id", "tf", "idf", "bm25_idf")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val docAgg = tfWithIds.groupBy("doc_id").agg(
-      max("tf").as("max_tf"),
-      sum("tf").as("doc_len"),
-      sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+    // The dict join is NOT persisted: it is a broadcast (map-side) join over
+    // the cached tf table, and re-running it per consumer is pure
+    // well-scaling CPU, whereas materializing a second 15M-row cache is a
+    // memory-bandwidth pass that measured 0.73 efficiency at 2→8 cores
+    // (BENCH/BASELINE.md round-2 stage profile).
+    val docAgg = tf
+      .join(dim(termDict.select("term", "idf").toDF(), nTerms), "term")
+      .groupBy("doc_id").agg(
+        max("tf").as("max_tf"),
+        sum("tf").as("doc_len"),
+        sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
 
     // left join: conversations whose every token was filtered out still get a
     // doc_stats row (max_tf=0, norm=0 — the reference's empty-doc guard,
@@ -260,16 +279,22 @@ object IndexBuilder {
 
     val parts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val tfWithIds = tf
+      .join(dim(termDict.select("term", "term_id").toDF(), nTerms), "term")
+      .select("doc_id", "term_id", "tf")
     val postings = buildPostings(spark, tfWithIds, docStats,
       cfg.resolveSaltRange(nDocs, parts), nDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // postings count = Σ df (one pass over the tiny dict, not the tf table)
+    val nPostings = termDict.toDF().agg(coalesce(sum("df"), lit(0L)))
+      .head().getLong(0)
     val meta = IndexMeta(
       docs = nDocs,
       terms = nTerms,
       total_tokens = totalTokens,
       avgdl = avgdl,
-      postings = tfWithIds.count(),
+      postings = nPostings,
       blocks = postings.count())
 
     IndexView(termDict, postings, docStats, docMap, meta, cfg)

@@ -267,9 +267,11 @@ object IndexStore {
       }
     }
 
+    // postings count = Σ df over the (small) dict — not a tf-table scan
+    lazy val nPostings = termDict.agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+
     stage("index_meta", "corpus stats") {
       val totalTokens = docStats.agg(coalesce(sum("doc_len"), lit(0L))).head().getLong(0)
-      val nPostings = tf.count()
       val nBlocks = spark.read.parquet(s"$dir/postings.parquet").count()
       Seq(IndexMeta(nDocs, termDict.count(), totalTokens, avgdl, nPostings, nBlocks))
         .toDS().write.mode("overwrite").parquet(s"$dir/index_meta.parquet")
@@ -279,7 +281,6 @@ object IndexStore {
     stage("build_metrics", "lineage+skew") {
       val manifest = readManifest(dir)
       val skew = termDict.agg(max("df").cast("double") / avg("df")).head().getDouble(0)
-      val nPostings = tf.count()
       val postingsMs = manifest.collect {
         case (s, r) if s.startsWith("postings:") || s == "posting_rows" => r.millis
       }.sum

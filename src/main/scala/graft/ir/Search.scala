@@ -169,53 +169,63 @@ class Searcher(index: IndexView) extends Serializable {
     val decoded = prunedDecoded.getOrElse(
       decodedPostings(spark, qts.map(_.termId)))
 
-    // J1: per-doc union accumulation. Cosine numerator factors as
-    // (1/maxtf_d)·Σ_t qwIdf_t·tf — maxtf joins in once per doc after the agg.
-    // BM25 is not separable from doc_len, so the (≤ |q|-element) per-doc
-    // contribution list is kept and folded with a codegen'd higher-order
-    // `aggregate` after the doc_stats join.
-    val perDoc = scorer match {
-      case TfIdfCosine =>
-        decoded
-          .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
-          .groupBy("doc_id")
-          .agg(sum(col("c")).as("cnum"), count(lit(1)).as("nterms"))
-      case Bm25 =>
-        decoded
-          .withColumn("qb", element_at(qbMap, col("term_id")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("nterms"),
-            collect_list(struct(col("qb"), col("tf"))).as("contribs"))
-    }
-
-    val matched = mode match {
-      case Or  => perDoc
-      case And => perDoc.filter(col("nterms") === qts.length)
-    }
-
     val k1 = cfg.k1
     val b = cfg.b
     val avgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
 
-    val scored = matched
-      .join(index.docStats.select("doc_id", "conv_id", "max_tf", "doc_len", "norm"), "doc_id")
-      .withColumn("score", scorer match {
-        case TfIdfCosine =>
-          when(col("max_tf") === 0 || col("norm") === 0.0, 0.0)
-            .otherwise(col("cnum") / col("max_tf") / (lit(qNorm) * col("norm")))
-        case Bm25 =>
-          aggregate(col("contribs"), lit(0.0), (acc, c) =>
-            acc + c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
-              (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
-      })
+    // J1: per-doc union accumulation.
+    //  - Cosine: the numerator factors as (1/maxtf_d)·Σ_t qwIdf_t·tf, so the
+    //    agg is a plain codegen'd sum and (max_tf, norm, conv_id) join in
+    //    once per MATCHED doc after it.
+    //  - BM25 needs doc_len per doc, so the (≤ |q|-element) per-doc
+    //    contribution list rides through the agg and a codegen'd
+    //    higher-order `aggregate` folds it after the doc_stats join. (The
+    //    seemingly-cheaper "join doc_len BEFORE the agg and sum per-posting
+    //    contributions" variant measured ~30% SLOWER at p50: every decoded
+    //    posting pays a broadcast-hash probe and a wider agg row, vs. this
+    //    shape aggregating narrow (long, int) rows first and joining only
+    //    the matched docs — see BENCH/BASELINE.md round 2.)
+    val scored0 = scorer match {
+      case TfIdfCosine =>
+        val perDoc = decoded
+          .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("cnum"), count(lit(1)).as("nterms"))
+        val matched = mode match {
+          case Or  => perDoc
+          case And => perDoc.filter(col("nterms") === qts.length)
+        }
+        matched
+          .join(index.docStats.select("doc_id", "conv_id", "max_tf", "norm"), "doc_id")
+          .withColumn("score",
+            when(col("max_tf") === 0 || col("norm") === 0.0, 0.0)
+              .otherwise(col("cnum") / col("max_tf") / (lit(qNorm) * col("norm"))))
+      case Bm25 =>
+        val perDoc = decoded
+          .withColumn("qb", element_at(qbMap, col("term_id")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nterms"),
+            collect_list(struct(col("qb"), col("tf"))).as("contribs"))
+        val matched = mode match {
+          case Or  => perDoc
+          case And => perDoc.filter(col("nterms") === qts.length)
+        }
+        matched
+          .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
+          .withColumn("score",
+            aggregate(col("contribs"), lit(0.0), (acc, c) =>
+              acc + c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
+                (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+    }
+
+    scored0
       // T2: engine standardizes on the client-side threshold (score > 0)
       .filter(col("score") > 0.0)
       // T1: deterministic tie-break by doc_id (reference tie order is
       // HashMap-unstable; SURVEY.md §7.4 risk 3)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k) // TakeOrderedAndProject: per-partition heap + merge
-
-    scored.select("doc_id", "conv_id", "score")
+      .select("doc_id", "conv_id", "score")
   }
 
   /**
@@ -286,28 +296,25 @@ class Searcher(index: IndexView) extends Serializable {
       // bound (the final top-k may need docs below it) → disable pruning
       if (tStar.df < k) 0.0
       else {
-        val blks = index.postings
+        // ONE tiny job: top-k blocks of t* → decode (≤ k·BlockSize rows) →
+        // broadcast-join doc_len onto the tiny side → k-th largest exact
+        // contribution. AQE broadcasts the decoded side (a limit result).
+        val topBlocks = index.postings
           .filter(col("term_id") === tStar.termId)
           .withColumn("bound", blockBound)
           .orderBy(col("bound").desc)
           .limit(k)
           .drop("bound")
           .as[Block]
+        val cs = index.docStats.select(col("doc_id"), col("doc_len"))
+          .join(broadcast(decodeBlocks(topBlocks)), "doc_id")
+          .withColumn("c", lit(tStar.qb) * (col("tf") * (bk1 + 1)) /
+            (col("tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("doc_len"))))
+          .orderBy(col("c").desc)
+          .limit(k)
+          .select("c")
           .collect()
-        val posts = blks.flatMap(Codec.decodeBlock) // (doc_id, tf), docs distinct
-        val dls: Map[Long, Long] = index.docStats
-          .filter(col("doc_id").isin(posts.map(_._1).toSeq: _*))
-          .select("doc_id", "doc_len")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-        val cs = posts
-          .map { case (d, tf) =>
-            // missing stat (impossible in a consistent index) → dl = ∞ → a
-            // smaller contribution → θ only shrinks: still sound
-            val dl = dls.getOrElse(d, Long.MaxValue).toDouble
-            tStar.qb * sat(tf.toDouble, dl)
-          }
-          .sorted(Ordering[Double].reverse)
-        if (cs.length < k) 0.0 else cs(k - 1)
+        if (cs.length < k) 0.0 else cs.last.getDouble(0)
       }
     }
 

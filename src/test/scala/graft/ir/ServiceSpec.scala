@@ -94,6 +94,14 @@ class ServiceSpec extends SparkSpec {
       val Array(d, f) = p.split(","); (d.toLong, f.toInt)
     }.toVector
     assert(got == oracle.postings("software"))
+    // read-back: parsing the dump reproduces the decoded postings exactly
+    val parsed = Exports.parseSequentialDump(Exports.sequentialDump(view))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val direct = Exports.decodedPostings(view)
+      .join(view.termDict.select("term_id", "term"), "term_id")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("tf"))).sorted.toSeq
+    assert(parsed == direct)
   }
 
   test("P8: regex extractors match reference semantics") {
