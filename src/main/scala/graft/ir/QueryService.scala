@@ -32,7 +32,8 @@ class QueryService(
 
   private val searcher = new Searcher(index)
 
-  private case class CacheKey(freq: Map[String, Int], mode: QueryMode, scorer: Scorer, k: Int)
+  private case class CacheKey(freq: Map[String, Int], mode: QueryMode, scorer: Scorer,
+      k: Int, wand: Boolean)
   private case class CacheEntry(rows: Array[Row], at: Long)
 
   private val cache = new java.util.LinkedHashMap[CacheKey, CacheEntry](16, 0.75f, true) {
@@ -46,22 +47,29 @@ class QueryService(
 
   private def now(): Long = System.currentTimeMillis()
 
-  /** Cached top-k search. Returns collected rows (doc_id, conv_id, score). */
+  /** Cached top-k search. Returns collected rows (doc_id, conv_id, score).
+    * `wand = true` (BM25 OR only) serves through the block-max-pruned path —
+    * identical results (sound pruning), fewer blocks decoded. */
   def search(
       spark: SparkSession,
       query: String,
       k: Int = 10,
       mode: QueryMode = Or,
-      scorer: Scorer = Bm25): Array[Row] = synchronized {
+      scorer: Scorer = Bm25,
+      wand: Boolean = false): Array[Row] = synchronized {
+    require(!wand || (scorer == Bm25 && mode == Or),
+      "WAND pruning applies to BM25 OR queries")
     val t0 = now()
     val terms = Analyzer.analyze(query, index.cfg.analyzer)
     val freq = terms.groupBy(identity).map { case (t, g) => t -> g.length }
-    val key = CacheKey(freq, mode, scorer, k)
+    val key = CacheKey(freq, mode, scorer, k, wand)
     val hit = Option(cache.get(key)).filter(e => now() - e.at <= cacheTtlMillis)
     val rows = hit match {
       case Some(e) => e.rows
       case None =>
-        val r = searcher.search(spark, query, k, mode, scorer).collect()
+        val r =
+          if (wand) searcher.searchBm25Wand(spark, query, k).collect()
+          else searcher.search(spark, query, k, mode, scorer).collect()
         cache.put(key, CacheEntry(r, now()))
         r
     }

@@ -147,7 +147,12 @@ object Dedup {
     val pruned = exploded.join(allowed, "s")
     val inter = pruned.alias("a")
       .join(pruned.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          // lossless size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+          // pair with skewed set sizes can never reach the threshold — prune
+          // it inside the join instead of counting its intersections
+          && col("a.sz") >= lit(threshold) * col("b.sz")
+          && col("b.sz") >= lit(threshold) * col("a.sz"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))

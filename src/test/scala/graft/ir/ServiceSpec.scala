@@ -29,6 +29,22 @@ class ServiceSpec extends SparkSpec {
     assert(m0.nonEmpty)
   }
 
+  test("WAND serving flag: identical rows to exact BM25, separate cache key") {
+    val svc = new QueryService(view)
+    val exact = svc.search(spark, "pais libre software")
+    val wand = svc.search(spark, "pais libre software", wand = true)
+    assert(exact.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      wand.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // second wand call is a cache hit; the exact call did not pre-fill it
+    val m = svc.queryMetrics(spark).collect()
+    assert(m.length == 2 && m.count(_.getAs[Boolean]("cached")) == 0)
+    svc.search(spark, "pais libre software", wand = true)
+    assert(svc.queryMetrics(spark).collect().last.getAs[Boolean]("cached"))
+    intercept[IllegalArgumentException] {
+      svc.search(spark, "pais", mode = And, wand = true)
+    }
+  }
+
   test("S13: flushMetrics appends a durable query_metrics table across services") {
     val dir = graft.SparkSpec.tmpDir("svc-metrics") + "/query_metrics.parquet"
     val svc = new QueryService(view)

@@ -37,4 +37,26 @@ class WandFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("AND block-skip == oracle AND on 20 random multi-term queries") {
+    val cfg = BuildConfig(saltRange = 32)
+    val view = IndexBuilder.build(spark, Fixtures.synthTurns(spark, 250), cfg)
+    val oracle = Oracle.index(Fixtures.synthCorpus(spark, 250), cfg)
+    val searcher = new Searcher(view)
+    val vocab = view.termDict.collect().map(_.term).sorted
+    (0 until 20).foreach { qi =>
+      val nTerms = 2 + (mix(1000 + qi) & 0x7FFFFFFF).toInt % 4
+      val terms = (0 until nTerms).map { ti =>
+        vocab((mix(qi * 53 + ti) & 0x7FFFFFFF).toInt % vocab.length)
+      }
+      val q = terms.mkString(" ")
+      val got = searcher.search(spark, q, 10, And, Bm25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val want = oracle.evaluateBm25(q, And).take(10)
+      assert(got.map(_._1) == want.map(_._1), s"AND q='$q' docs")
+      got.zip(want).foreach { case ((d, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"AND q='$q' doc=$d score")
+      }
+    }
+  }
 }
