@@ -157,7 +157,13 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0d),
             (a, x) => a + x.cast("double")), 4).as("feature_mass"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    "mm_frames" -> ((s, dir) => // oracled: frame boundaries are arithmetic
+      Multimodal.sampleFrames(Multimodal.mediaFromDocs(Pipelines.documents(s, dir)))
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("media_id", "frame_idx"))
   )
 
   /** Shared DuckDB CTE prelude: the analyzer profile (split + length [3,23])
@@ -363,6 +369,16 @@ object SparkEntry {
     "mm_features" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
         |round(CASE WHEN strlen(text) > 0 THEN 1.0 ELSE 0.0 END, 4) AS feature_mass
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // payload = utf-8 text bytes (ascii testdata: strlen == byte length);
+    // frames = 256-byte chunks sampled every 4th, last frame truncated
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, strlen(text) AS len,
+        |  unnest(range(0, cast(ceil(strlen(text)/256.0) AS BIGINT), 4)) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, i::BIGINT AS frame_idx,
+        |  least(256, len - i*256)::BIGINT AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -67,6 +67,35 @@ object Multimodal {
   private[ops] def resizeStub(payload: Array[Byte]): Array[Byte] =
     payload.take(ResizePrefix)
 
+  val FrameBytes = 256
+  val FrameEvery = 4
+
+  /**
+   * Frame sampling (video-analog): treat the payload as a sequence of
+   * fixed-size chunks ("frames") and emit every `every`-th one. Pure column
+   * expressions — `sequence` generates the sampled indices and a codegen'd
+   * substring slices the bytes, so sampling never leaves whole-stage
+   * codegen and never materializes unsampled frames. A real video build
+   * replaces the chunking with keyframe offsets from the container index;
+   * the explode/slice plumbing is the production shape.
+   */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int = FrameBytes,
+      every: Int = FrameEvery): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        ceil(length(col("payload")).cast("double") / frameBytes)
+          .cast("int").as("nchunks"))
+      .filter(col("nchunks") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("nchunks") - 1, lit(every))).as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+
   /**
    * Batched feature extraction: mapPartitions with an explicit batch loop
    * (the codec amortization point — a real decoder initializes once per

@@ -58,6 +58,28 @@ class StemmerSpec extends SparkSpec {
     assert(Stemmer.spanish("días") == Stemmer.spanish("dias").map(identity))
   }
 
+  test("stemmers are total, deterministic and non-expanding on fuzz input") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // arbitrary strings (incl. unicode, empty, digits): the analyzer only
+    // feeds whitespace-free lowercase tokens, but a UDF must never throw on
+    // anything — fuzz the raw surface
+    val gen = Gen.oneOf(
+      Gen.alphaLowerStr,
+      Gen.asciiPrintableStr.map(_.filter(!_.isWhitespace)),
+      Gen.listOf(Gen.oneOf("áéíóúüñ日本語綜合".toSeq)).map(_.mkString))
+    var seed = Seed(42L)
+    (0 until 2000).foreach { _ =>
+      val r = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      for (f <- Seq(Stemmer.english, Stemmer.spanish)) {
+        val out = f(r)
+        assert(out == f(r), s"non-deterministic on '$r'")
+        assert(out.length <= r.length + 1, s"expanded '$r' -> '$out'")
+      }
+    }
+  }
+
   test("stemmed profile: analyzer ordering matches the reference (stem before length filter)") {
     // 'ríos' stems to 'ri' (2 chars) — the length filter must apply AFTER
     // stemming (LexAnalyser.py:52-60), so a post-stem short term is dropped

@@ -175,6 +175,24 @@ class OpsSpec extends SparkSpec {
       Hashing.rollingFingerprint(Iterator("def", "abc"))) // order-sensitive
   }
 
+  test("multimodal frame sampling: exact bytes, stride, truncated tail") {
+    import spark.implicits._
+    val payload = Array.tabulate(300 * 4 + 17)(i => (i % 251).toByte)
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 300, every = 2)
+      .collect().sortBy(_.getLong(1))
+    // 5 chunks of 300 (last = 17 bytes), sampled at stride 2 → idx 0, 2, 4
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L))
+    frames.foreach { r =>
+      val idx = r.getLong(1).toInt
+      val want = payload.slice(idx * 300, math.min((idx + 1) * 300, payload.length))
+      assert(r.getAs[Array[Byte]](2).toSeq == want.toSeq, s"frame $idx bytes")
+    }
+    // empty payload → no frames
+    assert(Multimodal.sampleFrames(
+      Seq((1L, Array.emptyByteArray)).toDF("media_id", "payload")).count() == 0)
+  }
+
   test("multimodal feature extraction: schema, batch shape, determinism") {
     val media = Multimodal.mediaFromDocs(docs)
     assert(media.schema.fieldNames.toSeq ==
