@@ -356,10 +356,12 @@ object SparkEntry {
         |  (n_chars - (n_tok - 1)) / greatest(n_tok, 1.0) AS ml
         |  FROM b)
         |SELECT doc_id, n_tok::BIGINT AS n_tokens,
-        |  round(dr, 6) AS distinct_ratio, round(sr, 6) AS stopword_ratio,
-        |  round(ml, 6) AS mean_token_len,
-        |  round(0.35 * least(n_tok / 64.0, 1.0) + 0.25 * dr
-        |      + 0.2 * least(sr * 4.0, 1.0) + 0.2 * least(ml / 8.0, 1.0), 6) AS quality
+        |  floor(dr * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+        |  floor(sr * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+        |  floor(ml * 1e6 + 0.5) / 1e6 AS mean_token_len,
+        |  floor((0.35 * least(n_tok / 64.0, 1.0) + 0.25 * dr
+        |      + 0.2 * least(sr * 4.0, 1.0) + 0.2 * least(ml / 8.0, 1.0))
+        |      * 1e6 + 0.5) / 1e6 AS quality
         |FROM c ORDER BY doc_id""".stripMargin
     },
 

@@ -72,13 +72,19 @@ object TextAnalysis {
       lit(0.25) * distinctRatio +
       lit(0.2) * least(stopRatio * 4.0, lit(1.0)) +
       lit(0.2) * least(meanLen / 8.0, lit(1.0))
+    // 6-decimal quantization via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6):
+    // Spark rounds through BigDecimal HALF_UP while DuckDB rounds in
+    // floating point, and composite scores land on exact .5 micro-unit
+    // boundaries often enough to flip the last digit (12/5000 docs at
+    // sf0.1). floor of the identical double is bit-stable on both engines.
+    def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
-      round(distinctRatio, 6).as("distinct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(meanLen, 6).as("mean_token_len"),
-      round(q, 6).as("quality"))
+      q6(distinctRatio).as("distinct_ratio"),
+      q6(stopRatio).as("stopword_ratio"),
+      q6(meanLen).as("mean_token_len"),
+      q6(q).as("quality"))
   }
 
   /** Document fingerprint: polynomial rolling hash over analyzed tokens
