@@ -17,6 +17,14 @@ import graft.ops._
   */
 object SparkEntry {
 
+  /** Cross-engine-stable 6-decimal quantization (see TextAnalysis.quantize6):
+    * used for RATIONAL-valued scores (jaccard, ratios, df means, float dot
+    * products), which can land exactly on .5 micro-unit boundaries where
+    * Spark's and DuckDB's round(x, 6) half-way semantics disagree.
+    * Log/sqrt-derived scores (idf, norms, BM25) keep plain round. */
+  private def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+  private def q6sql(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.searchOrig(spark, "/root/testdata/sf0.001",
@@ -69,15 +77,15 @@ object SparkEntry {
       val v = Pipelines.index(s, dir)
       val hapax = v.termDict.filter(col("cf") === 1).count()
       Seq((v.meta.docs, v.meta.terms, v.meta.postings, v.meta.total_tokens,
-        math.rint(v.meta.avgdl * 1e6) / 1e6, hapax))
+        math.floor(v.meta.avgdl * 1e6 + 0.5) / 1e6, hapax))
         .toDF("docs", "terms", "postings", "total_tokens", "avgdl", "hapax")
     }),
 
     "a9_posting_stats" -> ((s, dir) =>
       Pipelines.index(s, dir).termDict.toDF().agg(
         min("df").as("min_df"), max("df").as("max_df"),
-        round(avg("df"), 6).as("mean_df"),
-        round(max("df").cast("double") / avg("df"), 6).as("skew"))),
+        q6(avg("df")).as("mean_df"),
+        q6(max("df").cast("double") / avg("df")).as("skew"))),
 
     "t4_topk_terms" -> ((s, dir) =>
       Pipelines.index(s, dir).termDict.toDF()
@@ -104,12 +112,12 @@ object SparkEntry {
 
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Pipelines.documents(s, dir), 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), q6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
     "dd_minhash_lsh" -> ((s, dir) => // oracled: == exact jaccard set at 0.5
       Dedup.minhashLsh(Pipelines.documents(s, dir), 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), q6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
     "dd_simhash" -> ((s, dir) => // rows-only
@@ -118,7 +126,7 @@ object SparkEntry {
 
     "dd_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Pipelines.embeddings(s, dir), 0.4)
-        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+        .select(col("doc_a"), col("doc_b"), q6(col("cosine")).as("cosine"))
         .orderBy("doc_a", "doc_b")),
 
     // ---- similarity search ----
@@ -126,7 +134,7 @@ object SparkEntry {
       val q = Pipelines.embeddings(s, dir).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.annBrute(Pipelines.embeddings(s, dir), q, 0L, 10)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .select(col("vec_id"), q6(col("cosine")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
     }),
 
@@ -134,7 +142,7 @@ object SparkEntry {
       val q = Pipelines.embeddings(s, dir).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.annLsh(Pipelines.embeddings(s, dir), q, 0L, 10)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .select(col("vec_id"), q6(col("cosine")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
     }),
 
@@ -186,8 +194,8 @@ object SparkEntry {
 
   private def langRatio(lang: String): String = {
     val words = TextAnalysis.LangWords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
-    s"round(len(list_filter(string_split(text, ' '), x -> x IN $words))::DOUBLE" +
-      s" / greatest(len(string_split(text, ' ')), 1), 6)"
+    s"floor(len(list_filter(string_split(text, ' '), x -> x IN $words))::DOUBLE" +
+      s" / greatest(len(string_split(text, ' ')), 1) * 1e6 + 0.5) / 1e6"
   }
 
   private lazy val bm25TopkSql = P + s""",
@@ -228,12 +236,13 @@ object SparkEntry {
         |(SELECT count(*) FROM dict)::BIGINT AS terms,
         |(SELECT count(*) FROM tf)::BIGINT AS postings,
         |(SELECT sum(tf) FROM tf)::BIGINT AS total_tokens,
-        |(SELECT round(avg(doc_len), 6) FROM stats) AS avgdl,
+        |(SELECT floor(avg(doc_len) * 1e6 + 0.5) / 1e6 FROM stats) AS avgdl,
         |(SELECT count(*) FROM dict WHERE cf = 1)::BIGINT AS hapax""".stripMargin),
 
     "a9_posting_stats" -> (P +
-      """SELECT min(df) AS min_df, max(df) AS max_df, round(avg(df), 6) AS mean_df,
-        |round(max(df) / avg(df), 6) AS skew FROM dict""".stripMargin),
+      ("""SELECT min(df) AS min_df, max(df) AS max_df, """ +
+        s"${q6sql("avg(df)")} AS mean_df, " +
+        s"${q6sql("max(df) / avg(df)")} AS skew FROM dict")),
 
     "t4_topk_terms" -> (P +
       "SELECT term, cf FROM dict ORDER BY cf DESC, term ASC LIMIT 20"),
@@ -287,7 +296,7 @@ object SparkEntry {
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b,
-        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |  floor((i::DOUBLE / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -303,14 +312,14 @@ object SparkEntry {
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b,
-        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |  floor((i::DOUBLE / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_embedding" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -319,7 +328,7 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
         |qn AS (SELECT sqrt(list_dot_product(e, e)) AS n FROM q)
         |SELECT vec_id,
-        |  round(list_dot_product(embedding::DOUBLE[], q.e) / qn.n, 6) AS cosine
+        |  floor(list_dot_product(embedding::DOUBLE[], q.e) / qn.n * 1e6 + 0.5) / 1e6 AS cosine
         |FROM embeddings, q, qn WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 

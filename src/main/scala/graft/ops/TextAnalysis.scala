@@ -23,11 +23,19 @@ object TextAnalysis {
 
   private def tokens = split(col("text"), " ")
 
+  /** 6-decimal quantization that is bit-stable across engines: floor of an
+    * identical double expression, instead of round(x, 6) whose half-way
+    * semantics differ between Spark (BigDecimal HALF_UP) and DuckDB
+    * (floating-point) — rational-valued scores DO land on exact .5
+    * micro-unit boundaries (12/5000 quality scores at sf0.1). */
+  def quantize6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6 + 0.5) / 1e6
+
   private def hitRatio(lang: String) = {
     val words = LangWords(lang)
-    round(
+    quantize6(
       size(filter(tokens, t => t.isin(words.map(lit(_)): _*))).cast("double") /
-        greatest(size(tokens), lit(1)), 6)
+        greatest(size(tokens), lit(1)))
   }
 
   /** Language ID: per-language function-word hit ratio, argmax with
@@ -72,12 +80,7 @@ object TextAnalysis {
       lit(0.25) * distinctRatio +
       lit(0.2) * least(stopRatio * 4.0, lit(1.0)) +
       lit(0.2) * least(meanLen / 8.0, lit(1.0))
-    // 6-decimal quantization via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6):
-    // Spark rounds through BigDecimal HALF_UP while DuckDB rounds in
-    // floating point, and composite scores land on exact .5 micro-unit
-    // boundaries often enough to flip the last digit (12/5000 docs at
-    // sf0.1). floor of the identical double is bit-stable on both engines.
-    def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val q6 = quantize6 _
     docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
