@@ -19,13 +19,22 @@ import org.apache.spark.storage.StorageLevel
  *                   straggler task
  * @param buckets    number of term_id buckets for checkpoint-resumable
  *                   postings writes (resume granularity)
+ * @param cosineNorms whether to maintain per-doc tf-idf vector norms.
+ *                   true (default) = full reference parity, but every
+ *                   append must re-aggregate the WHOLE corpus's compact tf
+ *                   table (norms depend on the new idf of every term in the
+ *                   doc). false = BM25-only serving: max_tf/doc_len are
+ *                   append-invariant per doc, so an append touches ONLY the
+ *                   delta — the 10^12-turn maintenance mode. Cosine queries
+ *                   on a norm-less index are refused loudly.
  */
 final case class BuildConfig(
     analyzer: AnalyzerConfig = Analyzer.Reference,
     k1: Double = 1.2,
     b: Double = 0.75,
     saltRange: Long = 0L,
-    buckets: Int = 8) {
+    buckets: Int = 8,
+    cosineNorms: Boolean = true) {
 
   def resolveSaltRange(nDocs: Long, shufflePartitions: Int): Long =
     if (saltRange > 0) saltRange
@@ -252,12 +261,20 @@ object IndexBuilder {
     // well-scaling CPU, whereas materializing a second 15M-row cache is a
     // memory-bandwidth pass that measured 0.73 efficiency at 2→8 cores
     // (BENCH/BASELINE.md round-2 stage profile).
-    val docAgg = tf
-      .join(dim(termDict.select("term", "idf").toDF(), nTerms), "term")
-      .groupBy("doc_id").agg(
-        max("tf").as("max_tf"),
-        sum("tf").as("doc_len"),
-        sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+    // BM25-only mode skips the idf join entirely — norms stay 0 and cosine
+    // queries are refused (Searcher guard)
+    val docAgg =
+      if (cfg.cosineNorms)
+        tf.join(dim(termDict.select("term", "idf").toDF(), nTerms), "term")
+          .groupBy("doc_id").agg(
+            max("tf").as("max_tf"),
+            sum("tf").as("doc_len"),
+            sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+      else
+        tf.groupBy("doc_id").agg(
+          max("tf").as("max_tf"),
+          sum("tf").as("doc_len"),
+          lit(0.0).as("sq"))
 
     // left join: conversations whose every token was filtered out still get a
     // doc_stats row (max_tf=0, norm=0 — the reference's empty-doc guard,

@@ -92,7 +92,8 @@ object IndexStore {
       s"k1\t${cfg.k1}",
       s"b\t${cfg.b}",
       s"saltRange\t${cfg.saltRange}",
-      s"buckets\t${cfg.buckets}")
+      s"buckets\t${cfg.buckets}",
+      s"cosineNorms\t${cfg.cosineNorms}")
     Files.writeString(Paths.get(dir, "_config.tsv"), lines.mkString("", "\n", "\n"))
   }
 
@@ -116,7 +117,8 @@ object IndexStore {
       k1 = kv("k1").toDouble,
       b = kv("b").toDouble,
       saltRange = kv("saltRange").toLong,
-      buckets = kv("buckets").toInt))
+      buckets = kv("buckets").toInt,
+      cosineNorms = kv.get("cosineNorms").forall(_.toBoolean)))
   }
 
   def buildAndSave(
@@ -208,13 +210,19 @@ object IndexStore {
 
     lazy val nTerms = termDict.count()
 
-    stage("doc_stats", "maxtf+len+norm") {
-      val docAgg = tf
-        .join(dim(termDict.select("term", "idf"), nTerms), "term")
-        .groupBy("doc_id").agg(
-          max("tf").as("max_tf"),
-          sum("tf").as("doc_len"),
-          sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+    stage("doc_stats", if (cfg.cosineNorms) "maxtf+len+norm" else "maxtf+len (bm25-only)") {
+      val docAgg =
+        if (cfg.cosineNorms)
+          tf.join(dim(termDict.select("term", "idf"), nTerms), "term")
+            .groupBy("doc_id").agg(
+              max("tf").as("max_tf"),
+              sum("tf").as("doc_len"),
+              sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+        else
+          tf.groupBy("doc_id").agg(
+            max("tf").as("max_tf"),
+            sum("tf").as("doc_len"),
+            lit(0.0).as("sq"))
       docMap
         .join(docAgg, Seq("doc_id"), "left")
         .select(
@@ -465,24 +473,47 @@ object IndexStore {
       lazy val newDict = spark.read.parquet(s"$bdir/term_dict.parquet")
       lazy val nTermsAll = newDict.count()
 
-      stage("doc_stats", "full recompute from tf_all x new idf (text-free)") {
-        val tfPaths = (s"$dir/tf.parquet" +:
-          committed.map(b => s"${batchDir(dir, b)}/tf.parquet")) :+ s"$bdir/tf.parquet"
-        val tfAll = tfPaths.map(spark.read.parquet(_)).reduce(_ union _)
-        val docAgg = tfAll
-          .join(dim(newDict.select("term", "idf"), nTermsAll), "term")
-          .groupBy("doc_id").agg(
-            max("tf").as("max_tf"),
-            sum("tf").as("doc_len"),
-            sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
-        oldDocMap.union(deltaDocMap)
-          .join(docAgg, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"), col("conv_id"),
-            coalesce(col("max_tf"), lit(0)).cast("int").as("max_tf"),
-            coalesce(col("doc_len"), lit(0L)).as("doc_len"),
-            coalesce(sqrt(col("sq")) / col("max_tf"), lit(0.0)).as("norm"))
-          .write.mode("overwrite").parquet(s"$bdir/doc_stats.parquet")
+      val statsDetail =
+        if (cfg.cosineNorms) "full recompute from tf_all x new idf (text-free)"
+        else "delta-only (bm25-only: max_tf/doc_len append-invariant)"
+      stage("doc_stats", statsDetail) {
+        val out =
+          if (cfg.cosineNorms) {
+            // exact cosine norms need the NEW idf of every term in every doc
+            // — the one whole-corpus pass of the append path, over the
+            // COMPACT (doc_id, term, tf) table (no text, one agg)
+            val tfPaths = (s"$dir/tf.parquet" +:
+              committed.map(b => s"${batchDir(dir, b)}/tf.parquet")) :+ s"$bdir/tf.parquet"
+            val tfAll = tfPaths.map(spark.read.parquet(_)).reduce(_ union _)
+            val docAgg = tfAll
+              .join(dim(newDict.select("term", "idf"), nTermsAll), "term")
+              .groupBy("doc_id").agg(
+                max("tf").as("max_tf"),
+                sum("tf").as("doc_len"),
+                sum(pow(col("tf") * col("idf"), 2.0)).as("sq"))
+            oldDocMap.union(deltaDocMap)
+              .join(docAgg, Seq("doc_id"), "left")
+              .select(
+                col("doc_id"), col("conv_id"),
+                coalesce(col("max_tf"), lit(0)).cast("int").as("max_tf"),
+                coalesce(col("doc_len"), lit(0L)).as("doc_len"),
+                coalesce(sqrt(col("sq")) / col("max_tf"), lit(0.0)).as("norm"))
+          } else {
+            // BM25-only: per-doc stats never change once indexed — write
+            // ONLY the delta's rows (load() unions base + batch deltas, like
+            // doc_map/postings). Neither compute NOR I/O touches old docs.
+            val deltaAgg = deltaTf.groupBy("doc_id").agg(
+              max("tf").as("max_tf"),
+              sum("tf").as("doc_len"))
+            deltaDocMap
+              .join(deltaAgg, Seq("doc_id"), "left")
+              .select(
+                col("doc_id"), col("conv_id"),
+                coalesce(col("max_tf"), lit(0)).cast("int").as("max_tf"),
+                coalesce(col("doc_len"), lit(0L)).as("doc_len"),
+                lit(0.0).as("norm"))
+          }
+        out.write.mode("overwrite").parquet(s"$bdir/doc_stats.parquet")
         spark.read.parquet(s"$bdir/doc_stats.parquet").count()
       }
       lazy val newStats = spark.read.parquet(s"$bdir/doc_stats.parquet")
@@ -503,9 +534,15 @@ object IndexStore {
       }
 
       stage("index_meta", "corpus stats after append") {
-        val r = newStats.agg(coalesce(sum("doc_len"), lit(0L)), avg("doc_len")).head()
-        val totalTokens = r.getLong(0)
-        val avgdl = if (r.isNullAt(1) || r.getDouble(1) <= 0) 1.0 else r.getDouble(1)
+        // total_tokens = old + delta (doc_len is append-invariant per doc),
+        // avgdl = exact long division — works whether the stats file is
+        // full (cosine mode) or delta-only (BM25-only mode)
+        val deltaTokens = newStats.filter(col("doc_id") > oldMaxDoc)
+          .agg(coalesce(sum("doc_len"), lit(0L))).head().getLong(0)
+        val totalTokens = oldMeta.total_tokens + deltaTokens
+        val avgdl =
+          if (nDocsAll <= 0 || totalTokens <= 0) 1.0
+          else totalTokens.toDouble / nDocsAll
         val deltaPostings = deltaTf.count()
         val deltaBlocks =
           spark.read.schema(blockSchema).parquet(s"$bdir/postings.parquet").count()
@@ -568,10 +605,17 @@ object IndexStore {
     val meta = spark.read.parquet(latestOr("index_meta.parquet")).as[IndexMeta].head()
     val blockCols = Seq("term_id", "first_doc_id", "last_doc_id", "count",
       "doc_ids", "tfs", "max_tf", "block_max_ntf", "min_dl")
+    // cosine mode rewrites doc_stats in full per append (norms shift with
+    // idf); BM25-only mode appends delta stats files like doc_map/postings
+    val docStats =
+      if (effective.cosineNorms)
+        spark.read.parquet(latestOr("doc_stats.parquet"))
+      else unionAll("doc_stats.parquet",
+        Seq("doc_id", "conv_id", "max_tf", "doc_len", "norm"))
     IndexView(
       termDict = spark.read.parquet(latestOr("term_dict.parquet")).as[TermStat],
       postings = unionAll("postings.parquet", blockCols).as[Block],
-      docStats = spark.read.parquet(latestOr("doc_stats.parquet")).as[DocStat],
+      docStats = docStats.as[DocStat],
       docMap = unionAll("doc_map.parquet", Seq("doc_id", "conv_id")),
       meta = meta,
       cfg = effective)

@@ -150,6 +150,9 @@ class Searcher(index: IndexView) extends Serializable {
       scorer: Scorer,
       prunedDecoded: Option[DataFrame]): DataFrame = {
     import spark.implicits._
+    require(scorer != TfIdfCosine || cfg.cosineNorms,
+      "index was built with cosineNorms=false (BM25-only maintenance mode); " +
+        "tf-idf cosine scoring needs a norms rebuild")
     val empty = spark.emptyDataset[Hit].toDF()
     if (qts.isEmpty) return empty // Query.isEmptyOfTerms short-circuit
 

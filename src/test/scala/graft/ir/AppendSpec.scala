@@ -50,6 +50,40 @@ class AppendSpec extends SparkSpec {
     new Searcher(v).search(spark, q, 1000000, Or, scorer)
       .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
 
+  test("BM25-only mode: delta-only append equals rebuild; cosine refused") {
+    val (all, b1, b2) = batches(100)
+    val cfg = BuildConfig(buckets = 4, cosineNorms = false)
+    val dirA = graft.SparkSpec.tmpDir("app-b25a")
+    IndexStore.buildAndSave(spark, b1, dirA, cfg)
+    val appended = IndexStore.append(spark, b2, dirA)
+    val dirF = graft.SparkSpec.tmpDir("app-b25f")
+    val full = IndexStore.buildAndSave(spark, all, dirF, cfg)
+
+    // the append's doc_stats stage must be the delta-only form — no
+    // whole-corpus tf pass anywhere in a BM25-only append
+    val stats = IndexStore.readManifest(dirA)("b1:doc_stats")
+    assert(stats.detail.contains("delta-only"), stats.detail)
+
+    // BM25 rank+scores identical to the rebuild, keyed by conv_id
+    val q = appended.termDict.collect().map(_.term).sorted.take(3).mkString(" ")
+    val sa = scoresByConv(appended, q, Bm25)
+    val sf = scoresByConv(full, q, Bm25)
+    assert(sa.keySet == sf.keySet && sa.keySet.nonEmpty)
+    sa.foreach { case (c, s) => assert(math.abs(s - sf(c)) < 1e-9, s"score $c") }
+
+    // stats carry exact max_tf/doc_len, norms are zeroed
+    statsByConv(appended).foreach { case (c, (mt, dl, n)) =>
+      val (fmt, fdl, _) = statsByConv(full)(c)
+      assert(mt == fmt && dl == fdl && n == 0.0, s"stats $c")
+    }
+
+    // cosine scoring is refused loudly, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      new Searcher(appended).search(spark, q, 10, Or, TfIdfCosine).collect()
+    }
+    assert(e.getMessage.contains("cosineNorms"))
+  }
+
   test("append equals full rebuild modulo id assignment") {
     val (all, b1, b2) = batches(120)
     val dirA = graft.SparkSpec.tmpDir("app-a")
