@@ -141,7 +141,9 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => { // rows-only: recall vs brute is spec-tested
       val q = Pipelines.embeddings(s, dir).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      Similarity.annLsh(Pipelines.embeddings(s, dir), q, 0L, 10)
+      // serving shape: the signature index is built once per corpus
+      // (Pipelines memo) and each query is a pruned probe
+      Pipelines.annIndex(s, dir).query(q, 0L, 10)
         .select(col("vec_id"), q6(col("cosine")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
     }),

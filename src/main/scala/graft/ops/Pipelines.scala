@@ -40,6 +40,13 @@ object Pipelines {
   val Cfg: BuildConfig = BuildConfig(analyzer = Analyzer.Plain)
 
   private val indexMemo = new ConcurrentHashMap[String, IndexView]()
+  private val annMemo = new ConcurrentHashMap[String, Similarity.AnnIndex]()
+
+  /** Build (once per sfDir per JVM) the persistent-signature ANN index over
+    * the embeddings table — serving semantics: ingest once, probe per query. */
+  def annIndex(spark: SparkSession, sfDir: String): Similarity.AnnIndex =
+    annMemo.computeIfAbsent(sfDir, dir =>
+      Similarity.buildAnnIndex(embeddings(spark, dir)))
 
   /** Build (once per sfDir per JVM) the full inverted index over the
     * documents corpus. All IR queries below read from these tables, so the

@@ -51,6 +51,13 @@ class StreamingSpec extends SparkSpec {
       src.addData(turn("convZ", 2, "omega more", sec(900)))
       q.processAllAvailable()
       assert(spark.table("closed").count() == 3)
+
+      // a straggler for the already-closed convA, with event time far below
+      // the watermark, is dropped — the closed conversation never re-emits
+      // or mutates (the documented > gap late-data contract)
+      src.addData(turn("convA", 2, "late straggler", sec(20)))
+      q.processAllAvailable()
+      assert(spark.table("closed").count() == 3, "late straggler leaked")
     } finally q.stop()
   }
 
