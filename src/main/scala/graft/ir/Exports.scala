@@ -19,16 +19,10 @@ import org.apache.spark.sql.functions._
  */
 object Exports {
 
-  /** Decoded postings with term ids: (term_id, doc_id, tf). */
-  def decodedPostings(view: IndexView): DataFrame = {
-    val spark = view.postings.sparkSession
-    import spark.implicits._
-    view.postings
-      .flatMap(b => Codec.decodeBlock(b).iterator.map { case (d, tf) =>
-        (b.term_id, d, tf)
-      })
-      .toDF("term_id", "doc_id", "tf")
-  }
+  /** Decoded postings with term ids: (term_id, doc_id, tf) — native
+    * generator decode (graft.functions.DecodeBlock). */
+  def decodedPostings(view: IndexView): DataFrame =
+    graft.functions.DecodeBlock.postings(view.postings.toDF())
 
   /** A6: (term_id, doc_id, tf, weight) with the reference tf-idf doc weight. */
   def weightsTable(view: IndexView): DataFrame =

@@ -66,18 +66,11 @@ class Searcher(index: IndexView) extends Serializable {
     }
   }
 
-  /** Decode a block set to (term_id, doc_id, tf) rows. */
-  private[graft] def decodeBlocks(blocks: Dataset[Block]): DataFrame = {
-    val spark = blocks.sparkSession
-    import spark.implicits._
-    blocks
-      .flatMap { blk =>
-        Codec.decodeBlock(blk).iterator.map { case (d, tf) =>
-          (blk.term_id, d, tf)
-        }
-      }
-      .toDF("term_id", "doc_id", "tf")
-  }
+  /** Decode a block set to (term_id, doc_id, tf) rows — via the native
+    * DecodeBlock generator, so postings stay in Tungsten rows instead of
+    * round-tripping through Block case-class objects per query. */
+  private[graft] def decodeBlocks(blocks: Dataset[Block]): DataFrame =
+    graft.functions.DecodeBlock.postings(blocks.toDF())
 
   /** Decoded candidate postings for a term set: (doc_id, term_id, tf). */
   private[graft] def decodedPostings(

@@ -69,13 +69,9 @@ object Pipelines {
   /** Decoded postings with term strings and original doc ids — the
     * round-trip through dense ids, salting and the block codec. */
   def decodedTf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val view = index(spark, sfDir)
-    val decoded = view.postings
-      .flatMap(b => Codec.decodeBlock(b).iterator.map { case (d, tf) =>
-        (b.term_id, d, tf)
-      })
-      .toDF("term_id", "doc_id_dense", "tf")
+    val decoded = Exports.decodedPostings(view)
+      .withColumnRenamed("doc_id", "doc_id_dense")
     decoded
       .join(view.termDict.toDF().select("term_id", "term"), "term_id")
       .join(view.docMap.select(col("doc_id").as("doc_id_dense"),
