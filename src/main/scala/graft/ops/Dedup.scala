@@ -76,11 +76,10 @@ object Dedup {
         // bucket id = hash of each band's 4 signature slots
         udafBands(col("sig"))).as(Seq("band", "bucket")))
 
-    // candidate pairs = docs sharing (band, bucket); skew valve on bucket size
-    val bySize = banded.groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    val pairs = bySize
+    // candidate pairs = docs sharing (band, bucket); skew valve on bucket
+    // size, enforced BEFORE any bucket materializes (boundedBuckets) — a
+    // degenerate all-boilerplate bucket never reaches one reducer's memory
+    val pairs = boundedBuckets(banded, Seq("band", "bucket"), "doc_id", maxBucket)
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
@@ -102,6 +101,24 @@ object Dedup {
     sig.grouped(BandSize).zipWithIndex.map { case (band, i) =>
       (i, Hashing.mix(band.foldLeft(i.toLong)((a, b) => Hashing.mix(a ^ b))))
     }.toSeq)
+
+  /** Bucket membership lists bounded BEFORE materialization: count per key
+    * first (map-side partial agg — a hot key arrives pre-reduced), keep only
+    * keys with 2..maxBucket members, then collect lists for survivors. The
+    * naive `collect_list → size filter` materializes the hottest bucket on
+    * one reducer before dropping it — the straggler the valve exists to
+    * prevent. Both aggregations and the join share the key, so the banded
+    * exchange is reused. Output: key columns + `ids` (bounded list). */
+  private def boundedBuckets(
+      banded: DataFrame, keys: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(ok, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(idCol).as("ids"))
+  }
 
   private val pairsUdf = udf((ids: Seq[Long]) => {
     val s = ids.distinct.sorted
@@ -198,10 +215,8 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.v"))
-    val buckets = banded.groupBy("band", "v")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+      .select(struct(col("doc_id"), col("sim")).as("x"), col("bb.band"), col("bb.v"))
+    val buckets = boundedBuckets(banded, Seq("band", "v"), "x", maxBucket)
     val hammingPairs = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val s = xs.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
       for {
@@ -210,7 +225,7 @@ object Dedup {
         if h <= maxHamming
       } yield (s(i)._1, s(j)._1, h)
     })
-    buckets.select(explode(hammingPairs(col("xs"))).as("p"))
+    buckets.select(explode(hammingPairs(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), col("p._3").as("hamming"))
       .distinct()
   }
@@ -275,9 +290,7 @@ object Dedup {
           struct(lit(1).as("band"), shiftrightunsigned(col("sig"), 6).bitwiseAND(lit(0x1F)).as("v")),
           struct(lit(2).as("band"), shiftrightunsigned(col("sig"), 11).bitwiseAND(lit(0x1F)).as("v")))).as("bb"))
         .select(col("vec_id"), col("bb.band"), col("bb.v"))
-      val pairs = banded.groupBy("band", "v")
-        .agg(collect_list("vec_id").as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      val pairs = boundedBuckets(banded, Seq("band", "v"), "vec_id", maxBucket)
         .select(explode(pairsUdf(col("ids"))).as("p"))
         .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
         .distinct()
