@@ -49,12 +49,13 @@ object Pipelines {
       Similarity.buildAnnIndex(embeddings(spark, dir)))
 
   /** Build (once per sfDir per JVM) the full inverted index over the
-    * documents corpus. All IR queries below read from these tables, so the
-    * DuckDB oracle validates the entire build pipeline including the block
-    * codec and salting. */
+    * documents corpus, pinned in the serving layout (term_id-clustered
+    * postings, doc_id-co-partitioned stats). All IR queries below read from
+    * these tables, so the DuckDB oracle validates the entire build pipeline
+    * including the block codec and salting. */
   def index(spark: SparkSession, sfDir: String): IndexView =
     indexMemo.computeIfAbsent(sfDir, dir =>
-      IndexBuilder.build(spark, transcripts(spark, dir), Cfg))
+      IndexBuilder.build(spark, transcripts(spark, dir), Cfg).pin())
 
   /** Engine-internal doc_id → original documents.doc_id (parse the conv_id
     * the transcript mapping minted; never assume the dense ranks align). */
