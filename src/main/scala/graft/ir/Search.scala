@@ -246,10 +246,21 @@ class Searcher(index: IndexView) extends Serializable {
    * scores ≤ the bound; appended batches change idf25/avgdl without
    * invalidating stored blocks.
    */
-  def searchBm25Wand(spark: SparkSession, query: String, k: Int): DataFrame = {
+  /** Below this many total candidate postings the WAND θ/gmax phases cost
+    * more than the full decode they would prune — serve the query through
+    * the exact single-job path instead (identical results either way). */
+  val WandExactCutover: Long = 1L << 17
+
+  def searchBm25Wand(
+      spark: SparkSession,
+      query: String,
+      k: Int,
+      exactCutover: Long = WandExactCutover): DataFrame = {
     import spark.implicits._
     val qts = queryTerms(spark, query)
     if (qts.isEmpty) return spark.emptyDataset[Hit].toDF()
+    if (qts.map(_.df).sum <= exactCutover)
+      return scoreTerms(spark, qts, k, Or, Bm25, None)
     val termIds = qts.map(_.termId)
 
     val bk1 = cfg.k1; val bb = cfg.b

@@ -137,7 +137,7 @@ class AppendSpec extends SparkSpec {
     val queryTerms = appended.termDict.collect().map(_.term).sorted.take(4).mkString(" ")
     val exact = new Searcher(appended).search(spark, queryTerms, 10, Or, Bm25)
       .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
-    val wand = new Searcher(appended).searchBm25Wand(spark, queryTerms, 10)
+    val wand = new Searcher(appended).searchBm25Wand(spark, queryTerms, 10, exactCutover = 0L)
       .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
     assert(wand == exact)
   }
@@ -217,7 +217,7 @@ class AppendSpec extends SparkSpec {
     val q = v2.termDict.collect().map(_.term).sorted.take(5).mkString(" ")
     val exact = new Searcher(v2).search(spark, q, 10, Or, Bm25)
       .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
-    val wand = new Searcher(v2).searchBm25Wand(spark, q, 10)
+    val wand = new Searcher(v2).searchBm25Wand(spark, q, 10, exactCutover = 0L)
       .collect().map(r => (r.getString(1), math.rint(r.getDouble(2) * 1e9))).toSeq
     assert(wand == exact)
   }

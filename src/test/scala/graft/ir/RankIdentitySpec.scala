@@ -32,7 +32,7 @@ class RankIdentitySpec extends SparkSpec {
         oracle.evaluateBm25(q, Or).take(K), s"$ctx bm25-OR '$q'")
       assertIdentical(hits(searcher.search(spark, q, K, And, Bm25)),
         oracle.evaluateBm25(q, And).take(K), s"$ctx bm25-AND '$q'")
-      assertIdentical(hits(searcher.searchBm25Wand(spark, q, K)),
+      assertIdentical(hits(searcher.searchBm25Wand(spark, q, K, exactCutover = 0L)),
         oracle.evaluateBm25(q, Or).take(K), s"$ctx bm25-WAND '$q'")
     }
   }
@@ -109,8 +109,8 @@ class RankIdentitySpec extends SparkSpec {
     Fixtures.referenceQueries.distinct.foreach { q =>
       assertIdentical(hits(b.search(spark, q, K, Or, Bm25)),
         hits(a.search(spark, q, K, Or, Bm25)), s"fallback OR '$q'")
-      assertIdentical(hits(b.searchBm25Wand(spark, q, K)),
-        hits(a.searchBm25Wand(spark, q, K)), s"fallback WAND '$q'")
+      assertIdentical(hits(b.searchBm25Wand(spark, q, K, exactCutover = 0L)),
+        hits(a.searchBm25Wand(spark, q, K, exactCutover = 0L)), s"fallback WAND '$q'")
     }
   }
 

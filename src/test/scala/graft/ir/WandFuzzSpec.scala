@@ -29,7 +29,9 @@ class WandFuzzSpec extends SparkSpec {
       val k = Seq(1, 3, 10)(qi % 3)
       val exact = searcher.search(spark, q, k, Or, Bm25)
         .collect().map(r => (r.getLong(0), r.getDouble(2)))
-      val wand = searcher.searchBm25Wand(spark, q, k)
+      // exactCutover = 0 forces the pruning phases (the fuzz corpus is far
+      // below the production cutover, which would serve the exact path)
+      val wand = searcher.searchBm25Wand(spark, q, k, exactCutover = 0L)
         .collect().map(r => (r.getLong(0), r.getDouble(2)))
       assert(wand.map(_._1).toSeq == exact.map(_._1).toSeq, s"q='$q' k=$k doc order")
       wand.zip(exact).foreach { case ((d, ws), (_, es)) =>
