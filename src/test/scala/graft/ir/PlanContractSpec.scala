@@ -1,0 +1,59 @@
+package graft.ir
+
+import graft.SparkSpec
+
+/**
+ * Serving-plan contract: the physical plan properties the 100 TB posture
+ * depends on must not silently regress. String assertions run against the
+ * segment of the executed plan ABOVE the first InMemoryRelation — the
+ * query's own operators — because the cached relation's stored build
+ * lineage (which legitimately contains object codecs for the posting
+ * ENCODE) prints below it.
+ */
+class PlanContractSpec extends SparkSpec {
+
+  private lazy val view =
+    IndexBuilder.build(spark, Fixtures.synthTurns(spark, 150)).pin()
+
+  private def servingPlan(q: String, scorer: Scorer): String = {
+    val df = new Searcher(view).search(spark, q, 10, Or, scorer)
+    df.count() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+  }
+
+  test("search plan: native generator decode, no per-query object round-trip") {
+    for (scorer <- Seq[Scorer](Bm25, TfIdfCosine)) {
+      val plan = servingPlan("pais libre software", scorer)
+      assert(plan.contains("Generate decodeblock"),
+        s"decode is not the native generator:\n$plan")
+      assert(!plan.contains("DeserializeToObject"),
+        s"query path re-grew an object round-trip:\n$plan")
+      assert(!plan.contains("MapPartitions"),
+        s"query path re-grew a lambda stage:\n$plan")
+    }
+  }
+
+  test("search plan: term filter reaches the cached postings scan") {
+    val plan = servingPlan("pais libre", Bm25)
+    // the IN predicate must sit ON the InMemoryTableScan line (batch-stat
+    // pruning), not only in a Filter above it
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("InMemoryTableScan") && l.contains("doc_ids"))
+      .getOrElse(fail(s"no postings scan line:\n$plan"))
+    assert(scanLine.contains("term_id") && scanLine.contains(" IN "),
+      s"term_id IN not pushed to the cached scan:\n$scanLine")
+    // column pruning: decode needs 4 block columns, never the 5 metadata ones
+    assert(!scanLine.contains("block_max_ntf") && !scanLine.contains("min_dl"),
+      s"decode scan reads metadata columns it never uses:\n$scanLine")
+  }
+
+  test("search plan: exactly one wide exchange (the per-doc score agg)") {
+    val plan = servingPlan("pais libre software", Bm25)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges == 1, s"expected 1 wide exchange, got $exchanges:\n$plan")
+    // the pinned doc_stats side joins with no exchange of its own: the only
+    // hashpartitioning exchange keys on doc_id (the agg), nothing else
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+  }
+}
