@@ -167,6 +167,29 @@ object IndexBuilder {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Broadcast a dimension table while it fits, shuffle-join past it. */
+  private[graft] def dim(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowLimit) broadcast(df) else df
+
+  /**
+   * A1 tf stage, shared by the in-memory and staged builds: map-side docId
+   * resolution (guarded broadcast), per-TURN analyze + explode, one hash
+   * aggregation on (doc_id, term). Document TEXT never reaches an exchange:
+   * whitespace tokenization distributes over turn concatenation
+   * (tokenize(a + " " + b) == tokenize(a) ++ tokenize(b)), so only compact
+   * (doc_id, term) pairs shuffle — contract-tested in PlanContractSpec.
+   */
+  private[graft] def tfStage(
+      turns: DataFrame, docMap: DataFrame, nDocs: Long,
+      acfg: AnalyzerConfig): DataFrame = {
+    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
+    turns
+      .join(dim(docMap, nDocs), "conv_id")
+      .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
   /**
    * Assemble one document per conversation: turns concatenated in turn_idx
    * order. `array_sort(collect_list(struct(...)))` is the shuffle-friendly
@@ -219,23 +242,10 @@ object IndexBuilder {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = docMap.count()
 
-    val acfg = cfg.analyzer
-    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
-
-    // dimension tables broadcast while they fit (kills the fact-side
-    // shuffle); past the guard Catalyst falls back to a shuffle join — the
-    // 10^12-turn path (SURVEY.md §4: broadcast-join selection is Catalyst's,
-    // the guard only hints the obvious)
-    def dim(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= BroadcastRowLimit) broadcast(df) else df
-
-    // A1: per-doc term frequency — map-side docId resolution, then per-turn
-    // analyze + explode + one hash agg on (doc_id, term) (map-side partial)
-    val tf = turns
-      .join(dim(docMap, nDocs), "conv_id")
-      .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("int").as("tf"))
+    // A1: per-doc term frequency — the shared tf stage (dimension tables
+    // broadcast while they fit; past the guard Catalyst falls back to a
+    // shuffle join — the 10^12-turn path, SURVEY.md §4)
+    val tf = tfStage(turns, docMap, nDocs, cfg.analyzer)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // A2: vocabulary with df/cf; deterministic term_id = rank by (df desc,

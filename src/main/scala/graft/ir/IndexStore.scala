@@ -151,7 +151,6 @@ object IndexStore {
     }
 
     val acfg = cfg.analyzer
-    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
 
     // deterministic input signature, recorded before any stage and required
     // to match on resume: without it a build killed mid-way and re-run
@@ -185,10 +184,7 @@ object IndexStore {
       if (rows <= IndexBuilder.BroadcastRowLimit) broadcast(df) else df
 
     stage("tf", "per-turn analyze+explode+hash-agg") {
-      turns.join(dim(docMap, nDocs), "conv_id")
-        .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("int").as("tf"))
+      IndexBuilder.tfStage(turns, docMap, nDocs, acfg)
         .write.mode("overwrite").parquet(s"$dir/tf.parquet")
       spark.read.parquet(s"$dir/tf.parquet").count()
     }
@@ -426,16 +422,11 @@ object IndexStore {
       }
       lazy val deltaDocMap = spark.read.parquet(s"$bdir/doc_map.parquet")
 
-      val acfg = cfg.analyzer
-      val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
       stage("tf", "delta per-turn analyze+explode+hash-agg") {
         // the docMap join filters to the new conversations — old text is
         // neither read (source pruning is the caller's partition filter)
         // nor tokenized nor shuffled
-        newTurns.join(dim(deltaDocMap, nNew), "conv_id")
-          .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).cast("int").as("tf"))
+        IndexBuilder.tfStage(newTurns, deltaDocMap, nNew, cfg.analyzer)
           .write.mode("overwrite").parquet(s"$bdir/tf.parquet")
         spark.read.parquet(s"$bdir/tf.parquet").count()
       }

@@ -47,6 +47,24 @@ class PlanContractSpec extends SparkSpec {
       s"decode scan reads metadata columns it never uses:\n$scanLine")
   }
 
+  test("build plan: document text never crosses an exchange") {
+    import org.apache.spark.sql.functions.col
+    val turns = Fixtures.synthTurns(spark, 50)
+    val docMap = IndexBuilder.zipWithDenseId(
+      turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
+      .select("doc_id", "conv_id")
+    val tf = IndexBuilder.tfStage(turns, docMap, 50L, Analyzer.Reference)
+    tf.count()
+    val plan = tf.queryExecution.executedPlan.toString
+    val exchange = plan.indexOf("Exchange hashpartitioning(doc_id")
+    val text = plan.indexOf("text#")
+    assert(exchange >= 0, s"no (doc_id, term) exchange:\n$plan")
+    // parents print above children: text must appear only BELOW the
+    // exchange (scan/tokenize side) — compact (doc_id, term) pairs are the
+    // only thing that shuffles
+    assert(text > exchange, s"document text reached the exchange:\n$plan")
+  }
+
   test("search plan: exactly one wide exchange (the per-doc score agg)") {
     val plan = servingPlan("pais libre software", Bm25)
     val exchanges = plan.linesIterator.count(l =>
