@@ -246,10 +246,17 @@ class Searcher(index: IndexView) extends Serializable {
    * scores ≤ the bound; appended batches change idf25/avgdl without
    * invalidating stored blocks.
    */
-  /** Below this many total candidate postings the WAND θ/gmax phases cost
-    * more than the full decode they would prune — serve the query through
-    * the exact single-job path instead (identical results either way). */
-  val WandExactCutover: Long = 1L << 17
+  /** Below this many total candidate postings the WAND θ phase costs more
+    * than the decode it prunes, so the query serves through the exact
+    * single-job path (identical results either way — θ = 0 is sound).
+    * Break-even arithmetic: the θ job is ~0.2 s of fixed scheduling/
+    * broadcast cost; decode+score runs ~5–10M postings/s on this box, and
+    * pruning saves at most the decoded fraction — so below a few million
+    * candidate postings pruning cannot pay for its own job. Measured: at
+    * 600k postings/query the pruned path is ~1.4× SLOWER than exact; block
+    * skipping is the 10^9+-postings regime's tool (where it is the only
+    * viable path), not a small-index win. */
+  val WandExactCutover: Long = 1L << 22
 
   def searchBm25Wand(
       spark: SparkSession,
