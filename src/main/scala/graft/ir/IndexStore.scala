@@ -558,6 +558,66 @@ object IndexStore {
     } finally newConvs.unpersist()
   }
 
+  /**
+   * Re-base an appended index: fold the base + every committed batch delta
+   * into a fresh single-root index at `dstDir` WITHOUT touching raw text —
+   * everything derives from the stored compact tables. Query results are
+   * identical: doc ids and conv_ids are carried over verbatim (the union
+   * doc_map IS the id assignment); term ids are re-ranked by the compacted
+   * df (nothing external holds them). The point at 10^12 turns: every
+   * append adds a parquet root that `load` must union — daily appends for a
+   * year = 365 roots per scan. Compaction collapses them to one, for the
+   * cost of re-aggregating the COMPACT (doc_id, term, tf) table — the text
+   * is never re-read or re-tokenized.
+   *
+   * Mechanics: write the unioned doc_map/tf to `dstDir`, record their
+   * stages (plus the begin signature, derived from conv_ids exactly as
+   * buildAndSave derives it) in the manifest, then let buildAndSave's
+   * resume machinery compute dictionary/stats/postings/meta from the
+   * persisted tables — compaction IS a resumed build whose first two
+   * stages were supplied.
+   */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): IndexView = {
+    val cfg = readConfig(srcDir).getOrElse(throw new IllegalArgumentException(
+      s"no index at $srcDir (missing _config.tsv)"))
+    val src = readManifest(srcDir)
+    require(src.contains("build_metrics"), s"base build at $srcDir is incomplete")
+    require(readManifest(dstDir).isEmpty && readConfig(dstDir).isEmpty,
+      s"compaction target $dstDir is not empty")
+    val committed = committedBatches(src)
+    val incomplete = allBatches(src).filterNot(committed.contains)
+    require(incomplete.isEmpty,
+      s"finish or discard incomplete append batches $incomplete before compacting")
+
+    Files.createDirectories(Paths.get(dstDir))
+    writeConfig(dstDir, cfg)
+    def unionOf(table: String): DataFrame =
+      (s"$srcDir/$table" +: committed.map(b => s"${batchDir(srcDir, b)}/$table"))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+    val t0 = System.nanoTime()
+    unionOf("doc_map.parquet").select("doc_id", "conv_id")
+      .write.mode("overwrite").parquet(s"$dstDir/doc_map.parquet")
+    unionOf("tf.parquet").select("doc_id", "term", "tf")
+      .write.mode("overwrite").parquet(s"$dstDir/tf.parquet")
+    val docMap = spark.read.parquet(s"$dstDir/doc_map.parquet")
+    val sig = {
+      val r = docMap.select("conv_id").distinct()
+        .selectExpr("count(*) c", "coalesce(bit_xor(xxhash64(conv_id)), 0) x").head()
+      s"n=${r.getLong(0)},x=${r.getLong(1)}"
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    appendManifest(dstDir, StageRecord("begin", 0L, 0L, 0L, sig))
+    appendManifest(dstDir, StageRecord("doc_map", docMap.count(), ms,
+      dirBytes(s"$dstDir/doc_map.parquet"), s"compacted from $srcDir"))
+    appendManifest(dstDir, StageRecord("tf",
+      spark.read.parquet(s"$dstDir/tf.parquet").count(), 0L,
+      dirBytes(s"$dstDir/tf.parquet"), s"compacted from $srcDir"))
+    // remaining stages (dict/stats/postings/meta) run via resume; the turns
+    // argument only feeds the begin-signature check, which needs conv_ids
+    buildAndSave(spark, docMap.select("conv_id"), dstDir, cfg)
+  }
+
   /** Build the base index on first call, append on every later call — the
     * streaming-sink entry point (StreamingIndexer). Both paths are staged
     * and resumable, so a replayed micro-batch converges. */

@@ -142,6 +142,42 @@ class AppendSpec extends SparkSpec {
     assert(wand == exact)
   }
 
+  test("compaction folds batch roots into one index with identical results") {
+    val (_, b1, b2) = batches(100)
+    val dir = graft.SparkSpec.tmpDir("cmp-src")
+    IndexStore.buildAndSave(spark, b1, dir, BuildConfig(buckets = 4))
+    // two appends → two batch roots under batches/
+    IndexStore.append(spark, b2.filter(abs(xxhash64(col("conv_id"))) % 4 === 1), dir)
+    val before = IndexStore.append(spark,
+      b2.filter(abs(xxhash64(col("conv_id"))) % 4 === 3), dir)
+    assert(IndexStore.committedBatches(IndexStore.readManifest(dir)) == Seq(1, 2))
+
+    val dst = graft.SparkSpec.tmpDir("cmp-dst")
+    val compacted = IndexStore.compact(spark, dir, dst)
+
+    // doc ids and conv_ids carried over verbatim
+    def ids(v: IndexView) =
+      v.docMap.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids(compacted) == ids(before))
+    // postings content identical keyed by (term, conv, tf)
+    assert(postingsByKey(compacted) == postingsByKey(before))
+    // corpus stats identical
+    assert(compacted.meta.docs == before.meta.docs)
+    assert(compacted.meta.postings == before.meta.postings)
+    assert(compacted.meta.total_tokens == before.meta.total_tokens)
+    assert(math.abs(compacted.meta.avgdl - before.meta.avgdl) < 1e-9)
+    // query parity on both scorers
+    val q = before.termDict.collect().map(_.term).sorted.take(4).mkString(" ")
+    Seq[Scorer](TfIdfCosine, Bm25).foreach { sc =>
+      val a = scoresByConv(compacted, q, sc); val b = scoresByConv(before, q, sc)
+      assert(a.keySet == b.keySet && a.keySet.nonEmpty, s"$sc matched set")
+      a.foreach { case (c, s) => assert(math.abs(s - b(c)) < 1e-9, s"$sc $c") }
+    }
+    // single root: no batch dirs, and further appends start from batch 1
+    assert(!Files.exists(Paths.get(s"$dst/batches")))
+    assert(IndexStore.committedBatches(IndexStore.readManifest(dst)).isEmpty)
+  }
+
   test("old posting files are not rewritten by append") {
     val (_, b1, b2) = batches(80)
     val dir = graft.SparkSpec.tmpDir("app-ro")
