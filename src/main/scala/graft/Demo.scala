@@ -14,10 +14,15 @@ import graft.ir._
  *        runMain graft.Demo --append <sfDir> <indexDir> <query...>
  *          (splits the corpus in half: builds on half A, appends half B,
  *           then queries the combined index — drives IndexStore.append)
+ *        runMain graft.Demo --compact <sfDir> <indexDir> <query...>
+ *          (build + append as above, then compact the batch roots into
+ *           <indexDir>-compacted and serve queries from THAT — drives
+ *           IndexStore.compact end-to-end)
  */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val appendMode = args.headOption.contains("--append")
+    val compactMode = args.headOption.contains("--compact")
+    val appendMode = args.headOption.contains("--append") || compactMode
     val rest = if (appendMode) args.drop(1) else args
     val sfDir = if (rest.length > 0) rest(0) else "/root/testdata/sf0.001"
     val indexDir = if (rest.length > 1) rest(1) else "/tmp/graft-demo-index"
@@ -56,7 +61,14 @@ object Demo {
         val b = turns.filter(abs(xxhash64(col("conv_id"))) % 2 === 1)
         val base = IndexStore.buildAndSave(spark, a, indexDir, cfg)
         println(s"[demo] base index: docs=${base.meta.docs} terms=${base.meta.terms}")
-        IndexStore.append(spark, b, indexDir)
+        val appended = IndexStore.append(spark, b, indexDir)
+        if (compactMode) {
+          val dst = s"$indexDir-compacted"
+          val c = IndexStore.compact(spark, indexDir, dst)
+          println(s"[demo] compacted to $dst: docs=${c.meta.docs} " +
+            s"(batch roots folded into one)")
+          c
+        } else appended
       } else IndexStore.buildAndSave(spark, turns, indexDir, cfg)
     println(s"[demo] index: docs=${view.meta.docs} terms=${view.meta.terms} " +
       s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
