@@ -101,21 +101,23 @@ class QueryService(
   /** S13 durable sink: append the metrics gathered since the last flush to
     * the `query_metrics` table at `path` — rows survive JVM exit and
     * accumulate across restarts, like the reference's queries.csv
-    * (Controller/StatsHandler.java:61-99). Returns rows flushed. */
+    * (Controller/StatsHandler.java:61-99). Flushed rows are dropped from
+    * the in-memory buffer (it would otherwise grow for the life of the
+    * server); `queryMetrics` shows the unflushed tail. Returns rows
+    * flushed. */
   def flushMetrics(spark: SparkSession, path: String): Long = synchronized {
-    val n = metrics.size - flushed
+    val n = metrics.size
     if (n > 0) {
       import spark.implicits._
-      metrics.toSeq.drop(flushed)
+      metrics.toSeq
         .map(m => (m.query, m.nTerms, m.matches, m.millis, m.cached, m.mode, m.scorer))
         .toDF("query", "n_terms", "matches", "millis", "cached", "mode", "scorer")
         .coalesce(1) // metrics are driver-small; one file per flush
         .write.mode("append").parquet(path)
-      flushed = metrics.size
+      metrics.clear()
     }
     n.toLong
   }
-  private var flushed: Int = 0
 
   def cacheSize: Int = synchronized(cache.size())
 }
