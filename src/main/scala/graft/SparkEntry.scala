@@ -148,6 +148,14 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id").asc)
     }),
 
+    "sim_ann_ivf" -> ((s, dir) => { // rows-only: recall vs brute is spec-tested
+      val q = Pipelines.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Pipelines.ivfIndex(s, dir).query(q, 0L, 10, nprobe = 2)
+        .select(col("vec_id"), q6(col("cosine")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+    }),
+
     // ---- text analysis ----
     "tx_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Pipelines.documents(s, dir)).orderBy("doc_id")),

@@ -48,6 +48,14 @@ object Pipelines {
     annMemo.computeIfAbsent(sfDir, dir =>
       Similarity.buildAnnIndex(embeddings(spark, dir)))
 
+  private val ivfMemo = new ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  /** Once-per-sfDir IVF index (trained coarse quantizer + cell-clustered
+    * vectors) — the data-adaptive counterpart of annIndex. */
+  def ivfIndex(spark: SparkSession, sfDir: String): Similarity.IvfIndex =
+    ivfMemo.computeIfAbsent(sfDir, dir =>
+      Similarity.buildIvfIndex(embeddings(spark, dir)))
+
   /** Build (once per sfDir per JVM) the full inverted index over the
     * documents corpus, pinned in the serving layout (term_id-clustered
     * postings, doc_id-co-partitioned stats). All IR queries below read from

@@ -159,6 +159,137 @@ object Similarity {
   def loadAnnIndex(spark: SparkSession, path: String, seed: Long = 42L): AnnIndex =
     new AnnIndex(spark.read.parquet(path), seed)
 
+  // ------------------------------------------------------------------ IVF
+
+  /**
+   * IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+   * vector to a cell; a query scans only its `nprobe` nearest cells. The
+   * complementary scale path to the hyperplane AnnIndex: LSH buckets are
+   * data-independent (stable under any distribution, no training pass),
+   * IVF cells adapt to the data (tighter candidate sets on clustered
+   * corpora, the common embedding shape).
+   *
+   * Determinism: centroids are seeded from the vectors with the smallest
+   * mixed vec_id hashes (data-defined, parallelism-independent) and each
+   * Lloyd update quantizes centroid coordinates to 1e-6 — double-summation
+   * order noise (±1 ulp across partitionings) is absorbed by the
+   * quantization, so cell assignments are stable at any parallelism.
+   */
+  final class IvfIndex private[ops] (
+      val data: DataFrame, // (vec_id, embedding, cell) cell-clustered, persisted
+      val centroids: Array[Array[Double]]) {
+
+    private def nearestCells(q: Array[Float], nprobe: Int): Seq[Int] = {
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      centroids.indices
+        .sortBy { c =>
+          var s = 0.0
+          var d = 0
+          while (d < q.length) { s += q(d) / qn * centroids(c)(d); d += 1 }
+          (-s, c)
+        }
+        .take(math.max(1, nprobe))
+    }
+
+    /** Top-k exact cosine among the `nprobe` nearest cells; widens one cell
+      * at a time while fewer than k hits (never a full-corpus fallback). */
+    def query(
+        query: Array[Float],
+        excludeId: Long,
+        k: Int,
+        nprobe: Int = 2): DataFrame = {
+      val spark = data.sparkSession
+      val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+      val qLit = typedLit(query.map(_.toDouble / qNorm).toSeq)
+      val order = nearestCells(query, centroids.length) // full preference order
+
+      def scan(cells: Seq[Int]): Array[Row] =
+        data.filter(col("cell").isin(cells: _*)) // pushed: batch/partition pruning
+          .filter(col("vec_id") =!= excludeId)
+          .withColumn("cosine", dotCol(col("embedding"), qLit))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(k)
+          .select("vec_id", "cosine")
+          .collect()
+
+      var probe = math.max(1, nprobe)
+      var hits = scan(order.take(probe))
+      while (hits.length < k && probe < order.length) {
+        probe += 1
+        hits = (hits ++ scan(Seq(order(probe - 1))))
+          .sortBy(r => (-r.getDouble(1), r.getLong(0))).take(k)
+      }
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("cosine", DoubleType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.parallelize(hits.toSeq, 1), schema)
+    }
+
+    def unpin(): Unit = { data.unpersist(); () }
+  }
+
+  private def quantize(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Train the coarse quantizer and build the cell-clustered index. One
+    * assign+update job pair per Lloyd iteration over (cell, dim) partial
+    * sums — centroid updates move nCells×dim doubles to the driver, never
+    * vectors. */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 4,
+      seed: Long = 42L): IvfIndex = {
+    val spark = embeddings.sparkSession
+    // deterministic data-defined seeds: vectors with the smallest mixed ids
+    var cents: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(v => { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) })
+
+    def assignUdf(cs: Array[Array[Double]]) = udf((v: Seq[Float]) => {
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var d = 0
+        while (d < v.length) { s += v(d) * cs(c)(d); d += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    })
+
+    (1 to iters).foreach { _ =>
+      val assigned = embeddings
+        .select(assignUdf(cents)(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+      val sums = assigned.groupBy("cell", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dim = cents(0).length
+      val next = Array.tabulate(cents.length)(c => cents(c).clone())
+      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getLong(3) match {
+          case 0L => 0.0
+          case n => quantize(r.getDouble(2) / n)
+        })
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        if (norm > 0) next(c) = v.map(x => quantize(x / norm))
+      }
+      cents = next
+    }
+
+    val df = embeddings
+      .withColumn("cell", assignUdf(cents)(col("embedding")))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new IvfIndex(df, cents)
+  }
+
   /** One-shot convenience over a transient index (SparkEntry/tests). For
     * serving, build the index once and reuse it across queries. */
   def annLsh(

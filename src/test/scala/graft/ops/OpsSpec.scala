@@ -113,6 +113,39 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.annLsh(embs, qr, 7L, 10).count() == 10)
   }
 
+  test("IVF index: high recall on clusters, deterministic, widens short probes") {
+    import spark.implicits._
+    def prng(a: Long, b: Long): Double = {
+      val h = Hashing.mix(Hashing.mix(a * 7919L) ^ b)
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val dim = 64
+    val vecs = (0 until 500).map { id =>
+      val cluster = id % 20
+      val center = Array.tabulate(dim)(d => prng(cluster, d))
+      val noisy = Array.tabulate(dim)(d => center(d) + 0.05 * prng(1000L + id, d))
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (id.toLong, noisy.map(x => (x / n).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(df, nCells = 20, iters = 4)
+    val q = vecs(40)._2.toArray
+    val brute = Similarity.annBrute(df, q, 40L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = idx.query(q, 40L, 10, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert((brute intersect ivf).size >= 8, s"IVF recall too low: $brute vs $ivf")
+    // deterministic across rebuilds (quantized centroids, data-defined seeds)
+    val idx2 = Similarity.buildIvfIndex(df.repartition(7), nCells = 20, iters = 4)
+    assert(idx.centroids.map(_.toSeq).toSeq == idx2.centroids.map(_.toSeq).toSeq)
+    idx2.unpin()
+    // probe widening keeps k on the random testdata embeddings
+    val ridx = Similarity.buildIvfIndex(embs, nCells = 16, iters = 2)
+    val qr = embs.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(ridx.query(qr, 7L, 10, nprobe = 1).count() == 10)
+    ridx.unpin(); idx.unpin()
+  }
+
   test("ANN index: parquet layout partition-prunes the probe, same answers") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString
