@@ -290,6 +290,25 @@ object Similarity {
     new IvfIndex(df, cents)
   }
 
+  /** Durable IVF: vectors laid out `partitionBy(cell)` (probe = directory
+    * pruning) with the trained centroids in a JSON-lines sidecar. */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.data.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val lines = idx.centroids.map(_.mkString("[", ",", "]"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.jsonl"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val cents = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path, "_centroids.jsonl"))
+      .toArray(Array.empty[String])
+      .filter(_.nonEmpty)
+      .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
+    new IvfIndex(spark.read.parquet(path), cents)
+  }
+
   /** One-shot convenience over a transient index (SparkEntry/tests). For
     * serving, build the index once and reuse it across queries. */
   def annLsh(

@@ -143,6 +143,18 @@ class OpsSpec extends SparkSpec {
     val qr = embs.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toArray
     assert(ridx.query(qr, 7L, 10, nprobe = 1).count() == 10)
+    // durable round-trip: parquet layout partition-prunes, same answers
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    val a = idx.query(q, 40L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = loaded.query(q, 40L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    val plan = loaded.data.filter(col("cell").isin(0, 1, 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"cell probe not pruned:\n$plan")
     ridx.unpin(); idx.unpin()
   }
 
