@@ -37,12 +37,20 @@ object Exports {
   /** S6 inverse: parse `term:doc,freq;…` lines back into (term, doc_id, tf)
     * rows — the reference reads its text postings format back too
     * (`GPU_server/ir_collection.c:116-166`). Accepts any DataFrame with a
-    * string `line` column (e.g. spark.read.text output). */
+    * string `line` column (e.g. spark.read.text output).
+    *
+    * Separator disambiguation (ADVICE r2): a verbatim-indexed term may
+    * itself contain `:`/`,`/`;` (a date, a time). The postings tail is
+    * strictly `[0-9,;]*`, so the separator colon is found by scanning
+    * BACKWARD past that maximal digit/`,`/`;` suffix — everything before it
+    * is the term, whatever characters it holds. Malformed lines fail loudly. */
   def parseSequentialDump(lines: DataFrame): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     lines.select(col("line")).as[String].flatMap { l =>
-      val i = l.indexOf(':')
+      var i = l.length - 1
+      while (i >= 0 && { val c = l.charAt(i); (c >= '0' && c <= '9') || c == ',' || c == ';' }) i -= 1
+      require(i >= 0 && l.charAt(i) == ':', s"malformed postings line: $l")
       val term = l.substring(0, i)
       l.substring(i + 1).split(";").iterator.filter(_.nonEmpty).map { p =>
         val j = p.indexOf(',')

@@ -342,10 +342,9 @@ class Searcher(index: IndexView) extends Serializable {
       .filter(element_at(qtfLit, col("term_id")) * blockBound +
         element_at(gmaxLit, col("term_id")) >= theta)
 
-    val decoded = survivors.flatMap { blk =>
-      Codec.decodeBlock(blk).iterator.map { case (d, tf) => (blk.term_id, d, tf) }
-    }.toDF("term_id", "doc_id", "tf")
-
-    scoreTerms(spark, qts, k, Or, Bm25, Some(decoded))
+    // decode via the native generator (same helper as the exact path) —
+    // postings stay in Tungsten; the survivors path is exactly the 10^9+-
+    // postings regime where a per-block object round-trip costs most
+    scoreTerms(spark, qts, k, Or, Bm25, Some(decodeBlocks(survivors)))
   }
 }

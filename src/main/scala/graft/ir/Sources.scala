@@ -24,6 +24,18 @@ object Sources {
 
   private val Epoch = 1577836800000L
 
+  /** Listed paths are verbatim file names, but Hadoop treats every input
+    * path as a GLOB (ADVICE r2): `*?[]{}\` would expand/misparse. Backslash-
+    * escape them (honored by Hadoop's GlobPattern). Literal commas need no
+    * escape here — paths travel via the Path-varargs `setInputPaths`
+    * (GraftCoreBridge), whose own escaping protects them from the
+    * comma-split that the String overload applies. */
+  private[ir] def escapePath(p: String): String =
+    p.flatMap {
+      case c @ ('*' | '?' | '[' | ']' | '{' | '}' | '\\') => s"\\$c"
+      case c => c.toString
+    }
+
   def fromTextDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.{Path => HPath}
@@ -45,7 +57,9 @@ object Sources {
         files += f.getPath.toString
     }
     if (files.isEmpty) return spark.emptyDataset[Turn].toDF()
-    spark.sparkContext.wholeTextFiles(files.sorted.mkString(","))
+    org.apache.spark.GraftCoreBridge.wholeTextFiles(
+      spark.sparkContext, files.sorted.map(escapePath).toSeq,
+      spark.sparkContext.defaultMinPartitions)
       .flatMap { case (path, content) =>
         val conv = path
         content.split("\r?\n", -1).iterator.zipWithIndex

@@ -65,6 +65,20 @@ class PlanContractSpec extends SparkSpec {
     assert(text > exchange, s"document text reached the exchange:\n$plan")
   }
 
+  test("wand plan: survivors decode through the native generator too") {
+    // exactCutover=0 forces the pruned path even on this tiny index
+    val df = new Searcher(view)
+      .searchBm25Wand(spark, "pais libre software", 10, exactCutover = 0L)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+    assert(plan.contains("Generate decodeblock"),
+      s"WAND survivors decode is not the native generator:\n$plan")
+    assert(!plan.contains("DeserializeToObject"),
+      s"WAND path re-grew an object round-trip (ADVICE r2):\n$plan")
+    assert(!plan.contains("MapPartitions"),
+      s"WAND path re-grew a lambda stage:\n$plan")
+  }
+
   test("search plan: exactly one wide exchange (the per-doc score agg)") {
     val plan = servingPlan("pais libre software", Bm25)
     val exchanges = plan.linesIterator.count(l =>

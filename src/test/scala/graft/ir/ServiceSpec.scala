@@ -120,6 +120,24 @@ class ServiceSpec extends SparkSpec {
     assert(parsed == direct)
   }
 
+  test("S6 parse: terms containing the separator characters survive") {
+    import spark.implicits._
+    // verbatim-indexed regex terms (dates, times, emails) may hold : , ; —
+    // the backward parse must still find the separator colon (ADVICE r2)
+    val lines = Seq(
+      "12,5:3,1;7,2",       // decimal-comma number as a term
+      "10:30:0,4",          // time with colon
+      "a;b@c.com:1,1;2,3",  // semicolon + address
+      "plain:5,9").toDF("line")
+    val got = Exports.parseSequentialDump(lines)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("12,5", 3L, 1), ("12,5", 7L, 2),
+      ("10:30", 0L, 4),
+      ("a;b@c.com", 1L, 1), ("a;b@c.com", 2L, 3),
+      ("plain", 5L, 9)))
+  }
+
   test("P8: regex extractors match reference semantics") {
     val cfg = Analyzer.Reference
     // abbreviations

@@ -43,4 +43,20 @@ class SourcesSpec extends SparkSpec {
     assert(view.termDict.collect().map(t => t.term -> t.df).toMap ==
       oracle.df.map { case (t, d) => t -> d.toLong })
   }
+
+  test("paths with commas and glob metacharacters read verbatim (ADVICE r2)") {
+    val dir = graft.SparkSpec.tmpDir("nasty-names")
+    val names = Seq("plain.txt", "with,comma.txt", "curly{x}.txt",
+      "brack[3].txt", "star*q.txt")
+    names.zipWithIndex.foreach { case (n, i) =>
+      Files.write(Paths.get(dir, n),
+        s"token$i unique$i".getBytes(StandardCharsets.UTF_8))
+    }
+    val turns = Sources.fromTextDir(spark, dir).collect()
+    // each file read exactly once, content intact — no comma-splitting, no
+    // glob expansion, no silent drop
+    assert(turns.length == names.length)
+    assert(turns.map(_.getAs[String]("text")).sorted.toSeq ==
+      names.indices.map(i => s"token$i unique$i").sorted)
+  }
 }

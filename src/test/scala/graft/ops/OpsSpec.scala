@@ -158,6 +158,23 @@ class OpsSpec extends SparkSpec {
     ridx.unpin(); idx.unpin()
   }
 
+  test("IVF trainer: auto nCells ≈ √n, bounded sample, empty input refused") {
+    import spark.implicits._
+    // empty table → clear error, not an index-out-of-bounds (ADVICE r2)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.buildIvfIndex(empty))
+    assert(e.getMessage.contains("empty"))
+    // auto-sizing: 2000-row testdata → √2000 ≈ 45 cells
+    val auto = Similarity.buildIvfIndex(embs)
+    assert(auto.centroids.length == math.round(math.sqrt(embs.count().toDouble)).toInt)
+    // every cell id the trainer can emit is a valid centroid index, and the
+    // single assign pass covered the whole corpus
+    assert(auto.data.count() == embs.count())
+    val cells = auto.data.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < auto.centroids.length))
+    auto.unpin()
+  }
+
   test("ANN index: parquet layout partition-prunes the probe, same answers") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString
