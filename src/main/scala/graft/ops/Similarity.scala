@@ -256,21 +256,32 @@ object Similarity {
       iters: Int = 4,
       seed: Long = 42L): IvfIndex = {
     val input = embeddings.select(col("vec_id"), col("embedding"))
-    val n = input.count() // column-pruned; metadata-only on parquet sources
+    val n = input.count() // column-pruned: parquet-metadata-cheap
     require(n > 0, "buildIvfIndex: embeddings table is empty")
     val k = if (nCells > 0) nCells
       else math.min(4096L, math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
     val sampleN = math.min(n, math.min(IvfSampleCap.toLong,
       math.max(10000L, 16L * k))).toInt
 
-    // deterministic data-defined sample (same trick as the r2 seeds, now
-    // sized for training): TakeOrdered by (hash, vec_id) — a total order,
-    // so the sample set AND its sequence are partitioning-independent
+    // deterministic data-defined sample (the r2 seed trick, sized for
+    // training): rows whose mixed vec_id hash falls under a threshold
+    // targeting 2× the sample size. A scan + pushable filter + collect —
+    // no sort, no shuffle, at ANY corpus size (orderBy+limit above Spark's
+    // top-K fallback threshold would degrade to a global sort). The sample
+    // set is hash-defined, the sequence driver-sorted: both
+    // partitioning-independent.
+    val keepFrac = math.min(1.0, 2.0 * sampleN / n)
+    val thresh =
+      if (keepFrac >= 1.0) Long.MaxValue
+      else Long.MinValue + (keepFrac * 1.8446744073709552e19).toLong
     val sample: Array[Array[Double]] = input
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(sampleN)
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .filter(col("h") <= thresh)
+      .select(col("h"), col("vec_id"), col("embedding"))
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .take(sampleN)
+      .map(_.getSeq[Float](2).map(_.toDouble).toArray)
       .map(v => {
         val nm = math.sqrt(v.map(x => x * x).sum)
         if (nm > 0) v.map(_ / nm) else v
