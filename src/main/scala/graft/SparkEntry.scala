@@ -120,7 +120,7 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), q6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
-    "dd_simhash" -> ((s, dir) => // rows-only
+    "dd_simhash" -> ((s, dir) => // oracled: SQL-replicated FNV-1a64 simhash
       Dedup.simhash(Pipelines.documents(s, dir), 3)
         .orderBy("doc_a", "doc_b")),
 
@@ -325,6 +325,50 @@ object SparkEntry {
         |  floor((i::DOUBLE / (sa.sz + sb.sz - i)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full FNV-1a64 + simhash in SQL (closes the r2 no_oracle): HUGEINT
+    // carries the 64-bit state (the ×0x100000001B3 step needs 104 bits);
+    // the per-byte XOR touches only the low byte, so it runs in BIGINT;
+    // bit extraction happens after a two's-complement cast (>> then &1 is
+    // sign-safe). The recursive CTE iterates over token characters — ASCII
+    // corpus, so unicode(char) == the char code fnv1a64 hashes. The engine's
+    // banded-LSH candidates equal these O(n²) pairs exactly because 4×16-bit
+    // banding is lossless at hamming ≤ 3 (pigeonhole). Token-less docs
+    // (none in testdata) would carry simhash 0 engine-side but no row here.
+    "dd_simhash" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, t FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) BETWEEN 3 AND 23),
+        |w AS (SELECT doc_id, t, count(*)::BIGINT AS w FROM tok GROUP BY 1, 2),
+        |toks AS (SELECT DISTINCT t FROM w),
+        |f(t, i, h) AS (
+        |  SELECT t, 0, 14695981039346656037::HUGEINT FROM toks
+        |  UNION ALL
+        |  SELECT t, i + 1,
+        |    ((h - (h % 256) + xor((h % 256)::BIGINT, unicode(substr(t, i + 1, 1)))::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM f WHERE i < length(t)),
+        |fnv AS (
+        |  SELECT t, CASE WHEN h >= 9223372036854775808::HUGEINT
+        |    THEN (h - 18446744073709551616::HUGEINT) ELSE h END::BIGINT AS hs
+        |  FROM f WHERE i = length(t)),
+        |bits AS (
+        |  SELECT w.doc_id, b.i AS bit,
+        |    sum(CASE WHEN ((fnv.hs >> b.i) & 1) = 1 THEN w.w ELSE -w.w END) AS acc
+        |  FROM w JOIN fnv USING (t) CROSS JOIN range(64) b(i)
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN acc > 0 THEN
+        |      (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END)
+        |      ELSE 0 END)::BIGINT AS sim
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sim, b.sim)) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_embedding" ->
