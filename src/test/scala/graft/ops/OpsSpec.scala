@@ -271,4 +271,52 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getSeq[Float](3).map(_.toDouble).sum - 1.0) < 1e-5,
       "histogram features normalize to ~1")
   }
+
+  test("PPM codec: golden decode byte-exact, corrupt falls back") {
+    // 8×2 gradient: pixel (x,y) = rgb(x*32, x*32, x*32) → luminance x*32
+    val w = 8; val h = 2
+    val rgb = Array.tabulate(w * h * 3) { i => ((i / 3 % w) * 32).toByte }
+    val ppm = Multimodal.encodePpm(w, h, rgb)
+    val (feat, resized) = Multimodal.decodePpm(ppm)
+    // each gray level x*32 lands in luminance bin (x*32)*16/256 = x*2;
+    // 2 of 16 pixels per level → bins {0,2,4,...,14} each hold 2/16
+    val want = Array.tabulate(Multimodal.FeatureDim)(b =>
+      if (b % 2 == 0) 2f / 16f else 0f)
+    assert(feat.toSeq == want.toSeq)
+    // 4×4 nearest-neighbor thumbnail: row y*2/4 of 2, col x*8/4 of 8
+    val expectPix = for {
+      y <- 0 until 4; x <- 0 until 4
+      o = 3 * ((y * h / 4) * w + (x * w / 4))
+      c <- 0 until 3
+    } yield rgb(o + c)
+    assert(resized.toSeq == ("P6\n4 4\n255\n".getBytes("US-ASCII") ++ expectPix).toSeq)
+    // dispatch: media_type routes to the real codec
+    val (viaDispatch, _) = Multimodal.decode("image/ppm", ppm)
+    assert(viaDispatch.toSeq == want.toSeq)
+    // corrupt payload → histogram fallback, not a task-killing throw
+    val junk = "not an image at all".getBytes("UTF-8")
+    val (fb, _) = Multimodal.decode("image/ppm", junk)
+    assert(fb.toSeq == Multimodal.decodeStub(junk).toSeq)
+  }
+
+  test("WAV codec: golden decode, chunk walk skips unknown chunks") {
+    val samples = Array.tabulate[Short](64)(i => (i * 1024 - 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val (feat, resized) = Multimodal.decodeWav(wav)
+    // sample i has amplitude i*1024-32768 → bin (i*1024)*16/65536 = i/4:
+    // 4 of 64 samples per bin → every bin holds 4/64
+    assert(feat.toSeq == Array.fill(Multimodal.FeatureDim)(4f / 64f).toSeq)
+    // waveform downsample: 32 of 64 samples, stride 2, little-endian
+    val got = resized.grouped(2).map(b =>
+      ((b(0) & 0xFF) | ((b(1) & 0xFF) << 8)).toShort).toSeq
+    assert(got == (0 until 32).map(i => samples(i * 2)))
+    // an extra unknown chunk before data must be skipped, not break parsing
+    val withJunk = {
+      val data = wav.drop(36) // "data" header + payload
+      val junk = "JUNK".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+      wav.take(36) ++ junk ++ data
+    }
+    assert(Multimodal.decodeWav(withJunk)._1.toSeq == feat.toSeq)
+  }
 }
