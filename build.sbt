@@ -32,3 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// local-cluster mode (Bench's separate-executor-JVM scaling evidence) spawns
+// executors through the Spark launcher, which resolves these from the
+// ENVIRONMENT only — inject them so any `sbt run` can use local-cluster
+// without caller setup.
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
+Test / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)

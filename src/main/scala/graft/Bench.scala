@@ -3,32 +3,54 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.ir._
-import graft.ops.Pipelines
 
 /**
  * Benchmark main (driver contract): prints ONE JSON line with the round's
  * numbers against BASELINE.md:
  *
- *  - index-build throughput (turns/sec) at two parallelism levels
- *    (local[8] vs local[32] on the identical deterministic input — the
- *    sandbox stand-in for N vs 4N executors) + scaling efficiency
+ *  - index-build throughput at two parallelism levels on identical input +
+ *    scaling efficiency, measured THREE ways (BENCH/BASELINE.md records the
+ *    rationale): in-JVM 1→4 threads (headline: the least bus-confounded
+ *    pair on a shared-bus single machine), in-JVM 2→8 (ADVICE r2: keeps the
+ *    number comparable with rounds 1–2), and local-cluster 2→8 executors ×
+ *    2 cores (separate executor JVMs: per-executor GC and heap domains like
+ *    a real cluster — the sandbox's closest stand-in for N→4N executors)
  *  - top-k query latency (p50/p95 over the 13 reference bot queries,
  *    repeated) on the built index
+ *  - append-vs-rebuild, best-of-N, in BOTH maintenance modes (cosine
+ *    parity and BM25-only delta-only appends — VERDICT r2 #2)
  *  - per-query timings for the SparkEntry operator set at the given sfDir
  */
 object Bench {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  private def newSession(master: String, shufflePartitions: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-bench")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs need the app classes and the JDK17 module opens the
+      // driver got from build.sbt; java.class.path carries the exact forked
+      // classpath (absolute paths)
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -48,75 +70,98 @@ object Bench {
     "tecnologia libre", "ultima consulta", "pais libre", "estado libre",
     "tecnologia", "pais")
 
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val s = Paths.get(src)
+    val d = Paths.get(dst)
+    val walk = Files.walk(s)
+    try walk.forEach { (p: Path) =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    } finally walk.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that tasks are chunky and the parallel fraction dominates
     // fixed job-scheduling costs (the 10^12-turn regime in miniature)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
 
-    // ---- build throughput at two parallelism levels, identical input ----
-    // (local[8] vs local[32] = the sandbox stand-in for N vs 4N executors)
     // a small untimed build first in each session warms JIT + shuffle
-    // machinery so neither parallelism level pays one-time JVM costs
-    def warmup(spark: SparkSession): Unit = {
-      val w = Synth.turns(spark, math.max(1000, nConvs / 40), seed = 7L).cache()
+    // machinery so no parallelism level pays one-time JVM costs
+    def warmup(spark: SparkSession, convs: Int): Unit = {
+      val w = Synth.turns(spark, math.max(1000, convs / 40), seed = 7L).cache()
       w.count()
       IndexBuilder.build(spark, w, BuildConfig()).meta
       w.unpersist()
       spark.catalog.clearCache()
     }
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-
-    // best-of-N per level (min = least-interference estimate; single-JVM
-    // local mode has GC/neighbor variance a real cluster would not)
-    def measure(spark: SparkSession): (Long, Double, IndexView) = {
-      warmup(spark)
-      var best = Double.MaxValue
-      var nTurns = 0L
-      var lastView: IndexView = null
-      (1 to runs).foreach { r =>
-        val turns = Synth.turns(spark, nConvs).cache()
-        nTurns = turns.count() // materialize input outside the timed span
-        val (v, sec) = time(IndexBuilder.build(spark, turns, BuildConfig()))
-        best = math.min(best, sec)
-        lastView = v
-        if (r < runs) { spark.catalog.clearCache(); System.gc() }
-      }
-      (nTurns, best, lastView)
+    // best-of-N per level (min = least-interference estimate; this host's
+    // documented steal makes single measurements swing up to 16×)
+    def measure(master: String, shuffleParts: Int, convs: Int): (Long, Double) = {
+      val spark = newSession(master, shuffleParts)
+      try {
+        warmup(spark, convs)
+        var best = Double.MaxValue
+        var nTurns = 0L
+        (1 to runs).foreach { r =>
+          val turns = Synth.turns(spark, convs).cache()
+          nTurns = turns.count() // materialize input outside the timed span
+          val (_, sec) = time(IndexBuilder.build(spark, turns, BuildConfig()))
+          best = math.min(best, sec)
+          if (r < runs) { spark.catalog.clearCache(); System.gc() }
+        }
+        (nTurns, best)
+      } finally { spark.stop(); System.gc() }
     }
 
-    // N and 4N cores. Default 1→4: in a single JVM all "executors" share one
-    // memory bus and one GC, so thread-scaling efficiency decays with the
-    // TOTAL thread count regardless of code (measured ladder, round 2:
-    // 1→4 = 0.81, 2→8 = 0.59–0.72, 8→32 ≈ 0.3; pure-CPU no-JVM control
-    // 8→32 = 0.79 — BENCH/BASELINE.md). A real 4N-executor cluster
-    // multiplies memory buses and GC capacity with the cores, so the LEAST
-    // bus-contended pair (1→4, ≤4 of 32 cores busy) is the faithful
-    // stand-in for N→4N executors; the higher pairs measure this one
-    // machine's bus, not the pipeline. SPARK_GRAFT_BENCH_N overrides.
+    // ---- in-JVM thread-scaling pairs, identical input ----
+    // Headline pair 1→4: in a single JVM all "executors" share one memory
+    // bus and one GC, so thread-scaling efficiency decays with the TOTAL
+    // thread count regardless of code (measured ladder, round 2: 1→4 =
+    // 0.81, 2→8 = 0.59–0.72, 8→32 ≈ 0.3; pure-CPU no-JVM control 8→32 =
+    // 0.79 — BENCH/BASELINE.md). The 2→8 pair is ALSO reported (ADVICE r2)
+    // so the number stays comparable across rounds, and the local-cluster
+    // section below gives the separated-GC-domain view.
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
-    val n4Cores = 4 * nCores
+    val (nTurns1, sec1) = measure(s"local[$nCores]", 2 * nCores, nConvs)
+    val (_, sec4) = measure(s"local[${4 * nCores}]", 8 * nCores, nConvs)
+    val eff14 = (sec1 / sec4) / 4.0
 
-    val (nTurns8, sec8) = {
-      val spark = newSession(nCores)
-      try { val (n, s, _) = measure(spark); (n, s) } finally spark.stop()
-    }
-    System.gc()
+    val (_, sec2) = measure(s"local[${2 * nCores}]", 4 * nCores, nConvs)
+    val (_, sec8) = measure(s"local[${8 * nCores}]", 16 * nCores, nConvs)
+    val eff28 = (sec2 / sec8) / 4.0
 
-    val (sec32) = {
-      val spark = newSession(n4Cores)
-      try { val (_, s, _) = measure(spark); s } finally spark.stop()
+    // ---- local-cluster scaling: separate executor JVMs (VERDICT r2 #5) ----
+    // 2 executors × 2 cores → 8 executors × 2 cores: the per-executor heap
+    // and GC scale WITH the cores, as on a real cluster; only the memory
+    // bus stays shared. Half-size corpus keeps the pair affordable; both
+    // levels read the identical input so the ratio is still N→4N.
+    val clusterConvs = nConvs / 2
+    val clusterJson: String = {
+      try {
+        val (ct, cSec2) = measure("local-cluster[2,2,6144]", 8, clusterConvs)
+        val (_, cSec8) = measure("local-cluster[8,2,6144]", 32, clusterConvs)
+        val cEff = (cSec2 / cSec8) / 4.0
+        s""""cluster":{"mode":"local-cluster","execs_n":2,"execs_4n":8,""" +
+          s""""cores_per_exec":2,"n_turns":$ct,"sec_n":${f"$cSec2%.3f"},""" +
+          s""""sec_4n":${f"$cSec8%.3f"},"turns_per_sec_n":${f"${ct / cSec2}%.1f"},""" +
+          s""""turns_per_sec_4n":${f"${ct / cSec8}%.1f"},""" +
+          s""""scaling_efficiency":${f"$cEff%.3f"}}"""
+      } catch {
+        case e: Throwable =>
+          s""""cluster":{"skipped":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").replace('"', '\'').take(120)}"}"""
+      }
     }
-    System.gc()
-    val thr8 = nTurns8 / sec8
-    val thr32 = nTurns8 / sec32
-    val efficiency = (sec8 / sec32) / 4.0
 
     // ---- serving measurements on a full-box session ----
     val servingCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE",
       Runtime.getRuntime.availableProcessors().toString).toInt
-    val spark = newSession(servingCores)
+    val spark = newSession(s"local[$servingCores]", 2 * servingCores)
     val view = {
       val turns = Synth.turns(spark, nConvs).cache()
       turns.count()
@@ -144,22 +189,38 @@ object Bench {
     val p95 = pct(0.95)
 
     // ---- incremental append vs full rebuild (staged/disk path) ----
-    // 90/10 split by conv hash: rebuild-all vs append-the-10% onto a
-    // prebuilt 90% base. Quarter-size corpus keeps the bench bounded.
-    val appendStats = {
+    // 90/10 split by conv hash, BOTH maintenance modes, best-of-N (the r2
+    // single-shot measurement recorded 0.93× under host steal while the
+    // builder's repeated runs measured 2.3–3.4× — VERDICT r2 #2). The
+    // append target is a fresh COPY of the prebuilt base each run, so every
+    // run measures identical work.
+    case class AppendStat(rebuild: Double, append: Double)
+    def appendBench(cosineNorms: Boolean): (Long, AppendStat) = {
       import org.apache.spark.sql.functions._
+      val cfg = BuildConfig(cosineNorms = cosineNorms)
       val all = Synth.turns(spark, math.max(1000, nConvs / 4)).cache()
       val totalTurns = all.count()
       val base = all.filter(pmod(xxhash64(col("conv_id")), lit(10)) =!= 0)
       val delta = all.filter(pmod(xxhash64(col("conv_id")), lit(10)) === 0)
-      val dirA = java.nio.file.Files.createTempDirectory("bench-rebuild").toString
-      val (_, rebuildSec) = time(IndexStore.buildAndSave(spark, all, dirA))
-      val dirB = java.nio.file.Files.createTempDirectory("bench-append").toString
-      IndexStore.buildAndSave(spark, base, dirB)
-      val (_, appendSec) = time(IndexStore.append(spark, delta, dirB))
+      val baseDir = java.nio.file.Files.createTempDirectory("bench-base").toString
+      IndexStore.buildAndSave(spark, base, baseDir, cfg)
+      var bestRebuild = Double.MaxValue
+      var bestAppend = Double.MaxValue
+      (1 to runs).foreach { _ =>
+        val dirR = java.nio.file.Files.createTempDirectory("bench-rebuild").toString
+        bestRebuild = math.min(bestRebuild,
+          time(IndexStore.buildAndSave(spark, all, dirR, cfg))._2)
+        val dirA = java.nio.file.Files.createTempDirectory("bench-append").toString
+        java.nio.file.Files.delete(java.nio.file.Paths.get(dirA))
+        copyDir(baseDir, dirA)
+        bestAppend = math.min(bestAppend,
+          time(IndexStore.append(spark, delta, dirA))._2)
+      }
       all.unpersist()
-      (totalTurns, rebuildSec, appendSec)
+      (totalTurns, AppendStat(bestRebuild, bestAppend))
     }
+    val (appendTurns, cosineStat) = appendBench(cosineNorms = true)
+    val (_, bm25Stat) = appendBench(cosineNorms = false)
 
     val opTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -172,16 +233,24 @@ object Bench {
 
     val qs = opTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = sec8 + sec32 + opTimes.map(_._2).sum
+    val total = sec1 + sec4 + opTimes.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""build":{"n_turns":$nTurns8,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
-      s""""sec_localN":${f"$sec8%.3f"},"sec_local4N":${f"$sec32%.3f"},""" +
-      s""""turns_per_sec_localN":${f"$thr8%.1f"},"turns_per_sec_local4N":${f"$thr32%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"}},""" +
-      s""""append":{"n_turns_total":${appendStats._1},"delta_frac":0.1,""" +
-      s""""rebuild_sec":${f"${appendStats._2}%.3f"},"append_sec":${f"${appendStats._3}%.3f"},""" +
-      s""""speedup":${f"${appendStats._2 / appendStats._3}%.2f"}},""" +
+      s""""build":{"n_turns":$nTurns1,"n_cores":$nCores,"n4_cores":${4 * nCores},""" +
+      s""""sec_localN":${f"$sec1%.3f"},"sec_local4N":${f"$sec4%.3f"},""" +
+      s""""turns_per_sec_localN":${f"${nTurns1 / sec1}%.1f"},""" +
+      s""""turns_per_sec_local4N":${f"${nTurns1 / sec4}%.1f"},""" +
+      s""""scaling_efficiency":${f"$eff14%.3f"}},""" +
+      s""""build_2_8":{"n_cores":${2 * nCores},"n4_cores":${8 * nCores},""" +
+      s""""sec_localN":${f"$sec2%.3f"},"sec_local4N":${f"$sec8%.3f"},""" +
+      s""""scaling_efficiency":${f"$eff28%.3f"}},""" +
+      clusterJson + "," +
+      s""""append":{"n_turns_total":$appendTurns,"delta_frac":0.1,"best_of":$runs,""" +
+      s""""rebuild_sec":${f"${cosineStat.rebuild}%.3f"},"append_sec":${f"${cosineStat.append}%.3f"},""" +
+      s""""speedup":${f"${cosineStat.rebuild / cosineStat.append}%.2f"},""" +
+      s""""bm25_only":{"rebuild_sec":${f"${bm25Stat.rebuild}%.3f"},""" +
+      s""""append_sec":${f"${bm25Stat.append}%.3f"},""" +
+      s""""speedup":${f"${bm25Stat.rebuild / bm25Stat.append}%.2f"}}},""" +
       s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},"n":${latencies.length}}}"""
     // bare JSON on stdout (build.sbt forwards the forked stdout undecorated)
     // + a file copy so the harness can parse it even through log noise
