@@ -100,21 +100,29 @@ object Bench {
     }
 
     // best-of-N per level (min = least-interference estimate; this host's
-    // documented steal makes single measurements swing up to 16×)
+    // documented steal makes single measurements swing up to 16×), with up
+    // to 2 ADAPTIVE retries when the two best runs still disagree by >15%
+    // — a run pair that was stolen in the same direction would otherwise
+    // record a clean-looking wrong number (the r2 0.93× append artifact)
     def measure(master: String, shuffleParts: Int, convs: Int): (Long, Double) = {
       val spark = newSession(master, shuffleParts)
       try {
         warmup(spark, convs)
-        var best = Double.MaxValue
+        var times = List.empty[Double]
         var nTurns = 0L
-        (1 to runs).foreach { r =>
+        def run(): Unit = {
+          if (times.nonEmpty) { spark.catalog.clearCache(); System.gc() }
           val turns = Synth.turns(spark, convs).cache()
           nTurns = turns.count() // materialize input outside the timed span
-          val (_, sec) = time(IndexBuilder.build(spark, turns, BuildConfig()))
-          best = math.min(best, sec)
-          if (r < runs) { spark.catalog.clearCache(); System.gc() }
+          times ::= time(IndexBuilder.build(spark, turns, BuildConfig()))._2
         }
-        (nTurns, best)
+        (1 to runs).foreach(_ => run())
+        def unstable = times.length > 1 && {
+          val s = times.sorted; s(1) > s.head * 1.15
+        }
+        var extra = 0
+        while (extra < 2 && unstable) { run(); extra += 1 }
+        (nTurns, times.min)
       } finally { spark.stop(); System.gc() }
     }
 
@@ -167,8 +175,12 @@ object Bench {
       turns.count()
       // serving layout (S12): term_id-clustered postings cache +
       // doc_id-co-partitioned stats + driver-resident vocabulary, all
-      // built once before the timed window, like a server at startup
-      val v = IndexBuilder.build(spark, turns, BuildConfig()).pin()
+      // built once before the timed window, like a server at startup;
+      // partition count sized for query tasks, not build tasks
+      val built = IndexBuilder.build(spark, turns, BuildConfig())
+      spark.conf.set("spark.sql.shuffle.partitions",
+        IndexView.servingPartitions(built.meta, spark).toString)
+      val v = built.pin()
       v.meta
       v.termLookup
       v.wandTermBounds
@@ -176,17 +188,30 @@ object Bench {
     }
 
     // ---- query latency on the synth index ----
-    val latencies = {
+    // pooled percentiles (primary, comparable with r1/r2) PLUS per-query
+    // best-of-rounds percentiles: the pooled p95 on this host measures
+    // steal as much as the engine (identical configs swung 0.69–0.88 p50
+    // in back-to-back runs), so the min-per-query view records the
+    // engine's repeatable latency the way best-of-N records build time
+    val perQuery: Seq[Seq[Double]] = {
       val searcher = new Searcher(view)
       searcher.search(spark, "pais libre", 10).count() // warm
-      (1 to 4).flatMap(_ => botQueries.map { q =>
+      (1 to 4).map(_ => botQueries.map { q =>
         time(searcher.search(spark, q, 10, Or, Bm25).count())._2
       })
     }
-    val sorted = latencies.sorted
-    def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-    val p50 = pct(0.50)
-    val p95 = pct(0.95)
+    val latencies = perQuery.flatten
+    def pctOf(xs: Seq[Double], p: Double) = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, (p * s.length).toInt))
+    }
+    val p50 = pctOf(latencies, 0.50)
+    val p95 = pctOf(latencies, 0.95)
+    val best = perQuery.transpose.map(_.min)
+    val p50Best = pctOf(best, 0.50)
+    val p95Best = pctOf(best, 0.95)
+    // builds/appends below want build-sized partitioning again
+    spark.conf.set("spark.sql.shuffle.partitions", (2 * servingCores).toString)
 
     // ---- incremental append vs full rebuild (staged/disk path) ----
     // 90/10 split by conv hash, BOTH maintenance modes, best-of-N (the r2
@@ -251,7 +276,9 @@ object Bench {
       s""""bm25_only":{"rebuild_sec":${f"${bm25Stat.rebuild}%.3f"},""" +
       s""""append_sec":${f"${bm25Stat.append}%.3f"},""" +
       s""""speedup":${f"${bm25Stat.rebuild / bm25Stat.append}%.2f"}}},""" +
-      s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},"n":${latencies.length}}}"""
+      s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},""" +
+      s""""p50_best_sec":${f"$p50Best%.4f"},"p95_best_sec":${f"$p95Best%.4f"},""" +
+      s""""n":${latencies.length}}}"""
     // bare JSON on stdout (build.sbt forwards the forked stdout undecorated)
     // + a file copy so the harness can parse it even through log noise
     println(json)

@@ -30,7 +30,16 @@ object LatencyProbe {
 
     val turns = Synth.turns(spark, nConvs).cache()
     turns.count()
-    val view = IndexBuilder.build(spark, turns, BuildConfig()).pin()
+    val built = IndexBuilder.build(spark, turns, BuildConfig())
+    // serving mode: shrink the partitioning to query-sized task counts
+    // (SPARK_GRAFT_SERVE_PARTS=0 keeps the build-sized layout for A/B)
+    val serveParts = sys.env.get("SPARK_GRAFT_SERVE_PARTS").map(_.toInt)
+      .getOrElse(IndexView.servingPartitions(built.meta, spark))
+    if (serveParts > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", serveParts.toString)
+    if (sys.env.get("SPARK_GRAFT_SERVE_AQE").contains("0"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val view = built.pin()
     view.termLookup; view.wandTermBounds // one-time serving warmup, untimed
     val searcher = new Searcher(view)
     def t(body: => Any): Double = {
@@ -53,7 +62,8 @@ object LatencyProbe {
       t(searcher.searchBm25Wand(spark, q, 10).count())))
     val and = (1 to 4).flatMap(_ => botQueries.map(q =>
       t(searcher.search(spark, q, 10, And, Bm25).count())))
-    println(f"[latency] cpus=$cpus convs=$nConvs " +
+    println(f"[latency] cpus=$cpus convs=$nConvs parts=$serveParts " +
+      f"aqe=${spark.conf.get("spark.sql.adaptive.enabled")} " +
       f"exact p50=${pct(exact, 0.5)}%.3f p95=${pct(exact, 0.95)}%.3f | " +
       f"wand p50=${pct(wand, 0.5)}%.3f p95=${pct(wand, 0.95)}%.3f | " +
       f"and p50=${pct(and, 0.5)}%.3f p95=${pct(and, 0.95)}%.3f")

@@ -64,6 +64,19 @@ object PlanDump {
     val idx = graft.ops.Similarity.loadAnnIndex(spark, annDir)
     idx.data.filter(col("sig").isin(0, 1, 2, 4, 8)).explain("formatted")
 
+    println("==== IVF index probe: cell partition pruning (parquet layout) ====")
+    val ivfDir = java.nio.file.Files.createTempDirectory("plandump-ivf").toString
+    graft.ops.Similarity.saveIvfIndex(
+      graft.ops.Similarity.buildIvfIndex(embs), ivfDir)
+    val ivf = graft.ops.Similarity.loadIvfIndex(spark, ivfDir)
+    ivf.data.filter(col("cell").isin(0, 1, 2)).explain("formatted")
+
+    println("==== WAND survivors: pruned block scan decodes via generator ====")
+    val wq = dict.sortBy(-_.df).take(3).map(_.term).mkString(" ")
+    val wdf = searcher.searchBm25Wand(spark, wq, 10, exactCutover = 0L)
+    wdf.count()
+    println(wdf.queryExecution.executedPlan.toString)
+
     spark.stop()
   }
 }

@@ -72,8 +72,13 @@ final case class IndexView(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     copy(
       termDict = termDict.persist(level),
-      postings = postings.repartitionByRange(parts, col("term_id"))
-        .sortWithinPartitions("term_id").persist(level),
+      postings = postings
+        // range by (term_id, first_doc_id), not term_id alone: a hot term's
+        // blocks then SPAN partitions (its decode parallelizes across cores
+        // instead of serializing into the one task that owns the term)
+        // while batch min/max stats on term_id still prune cold partitions
+        .repartitionByRange(parts, col("term_id"), col("first_doc_id"))
+        .sortWithinPartitions("term_id", "first_doc_id").persist(level),
       docStats = docStats.repartition(parts, col("doc_id"))
         .sortWithinPartitions("doc_id").persist(level))
   }
@@ -118,6 +123,23 @@ object IndexView {
     * skipped (≈100 B/entry → ~400 MB at the limit) and the query side uses
     * pushed-filter scans instead. */
   val DriverDictLimit: Long = 4000000L
+
+  /** Serving-mode shuffle-partition rule (VERDICT r2 #7): a query's fixed
+    * cost is ~linear in tasks-per-stage, and the build-sized partition count
+    * (2× cores, fine for the one-off build) schedules 3 stages × that many
+    * tasks for every sub-second query. Size serving partitions so a FULL
+    * postings sweep still only sees ~2M postings/task (pruned probes see
+    * far less), floored at 8 for parallelism, capped by the session's
+    * configured shuffle.partitions (a real cluster configures that to its
+    * core count). Serving entrypoints set `spark.sql.shuffle.partitions` to
+    * this BEFORE `pin()` so the cached postings layout, the per-doc score
+    * agg and the co-partitioned stats join all share one partitioning —
+    * preserving the no-exchange stats join the pin() contract promises. */
+  def servingPartitions(meta: IndexMeta, spark: org.apache.spark.sql.SparkSession): Int = {
+    val cap = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    math.min(cap, math.max(8, (meta.postings / 2000000L).toInt))
+  }
 }
 
 /**

@@ -23,7 +23,17 @@ import org.apache.spark.storage.StorageLevel
  */
 object Similarity {
 
-  val NumPlanes = 8 // 256 buckets; hamming<=2 probe = 37/256 ≈ 14% of corpus
+  val NumPlanes = 8 // default: 256 buckets; hamming<=2 probe = 37/256 ≈ 14%
+
+  /** Auto-sized hyperplane count: target ~16 vectors per bucket —
+    * `ceil(log2(n/16))` clamped to [4, 24]. More planes = smaller buckets =
+    * sharper pruning; ring-widening already guarantees k results, so the
+    * only cost of over-splitting is extra (pruned) probes. At 10^9 vectors
+    * this yields 24 planes → ~2^24 buckets of ~60 vectors; the hamming≤2
+    * probe reads 301 buckets ≈ 18k vectors, corpus-size-independent. */
+  private[ops] def autoPlanes(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt))
 
   /** Dot product of two float-array columns. A tight primitive loop beats
     * the zip_with+aggregate higher-order form ~5× on all-pairs joins: the
@@ -76,9 +86,9 @@ object Similarity {
   }
 
   /** All signatures at exactly hamming distance `h` from `sig`. */
-  private[ops] def ring(sig: Int, h: Int): Seq[Int] =
+  private[ops] def ring(sig: Int, h: Int, planes: Int = NumPlanes): Seq[Int] =
     if (h == 0) Seq(sig)
-    else (0 until NumPlanes).combinations(h)
+    else (0 until planes).combinations(h)
       .map(bits => bits.foldLeft(sig)((s, b) => s ^ (1 << b)))
       .toSeq
 
@@ -88,7 +98,8 @@ object Similarity {
    * level. Build once, query many — the reference analog of precomputed
    * retrieval data loaded at server start (`ir_manager.py:137-156`).
    */
-  final class AnnIndex private[ops] (val data: DataFrame, val seed: Long) {
+  final class AnnIndex private[ops] (
+      val data: DataFrame, val seed: Long, val planes: Int = NumPlanes) {
 
     /**
      * Top-k by exact cosine among vectors within `probeHamming` of the
@@ -105,7 +116,7 @@ object Similarity {
       val spark = data.sparkSession
       val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
       val qLit = typedLit(query.map(_.toDouble / qNorm).toSeq)
-      val qSig = signature(query.toSeq, seed)
+      val qSig = signature(query.toSeq, seed, planes)
 
       def scan(probes: Seq[Int]): Array[Row] =
         data
@@ -117,11 +128,11 @@ object Similarity {
           .select("vec_id", "cosine")
           .collect()
 
-      var hits = scan((0 to probeHamming).flatMap(ring(qSig, _)))
+      var hits = scan((0 to probeHamming).flatMap(ring(qSig, _, planes)))
       var h = probeHamming
-      while (hits.length < k && h < NumPlanes) {
+      while (hits.length < k && h < planes) {
         h += 1
-        hits = (hits ++ scan(ring(qSig, h)))
+        hits = (hits ++ scan(ring(qSig, h, planes)))
           .sortBy(r => (-r.getDouble(1), r.getLong(0))).take(k)
       }
       val schema = StructType(Seq(
@@ -135,29 +146,43 @@ object Similarity {
 
   /** In-memory index: signature computed once, sig-clustered and pinned in
     * executor storage. Cached batch min/max stats on the sorted `sig` column
-    * give batch-level pruning for the probe filter. */
-  def buildAnnIndex(embeddings: DataFrame, seed: Long = 42L): AnnIndex = {
-    val sigUdf = udf((v: Seq[Float]) => signature(v, seed))
+    * give batch-level pruning for the probe filter.
+    * @param planes 0 (default) = auto-size from the corpus (`autoPlanes`) */
+  def buildAnnIndex(embeddings: DataFrame, seed: Long = 42L, planes: Int = 0): AnnIndex = {
+    val p = if (planes > 0) planes
+      else autoPlanes(embeddings.select("vec_id").count())
+    val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     val df = embeddings
       .withColumn("sig", sigUdf(col("embedding")))
       .repartition(col("sig"))
       .sortWithinPartitions("sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new AnnIndex(df, seed)
+    new AnnIndex(df, seed, p)
   }
 
   /** Durable index: parquet laid out `partitionBy(sig)` — the probe filter
-    * becomes directory-level partition pruning (the 100 TB path; at that
-    * scale raise NumPlanes so buckets stay bounded). */
-  def saveAnnIndex(embeddings: DataFrame, path: String, seed: Long = 42L): Unit = {
-    val sigUdf = udf((v: Seq[Float]) => signature(v, seed))
+    * becomes directory-level partition pruning (the 100 TB path; auto-sized
+    * planes keep buckets bounded at any corpus size). Seed and plane count
+    * ride a sidecar so the loaded index probes with the ingest geometry. */
+  def saveAnnIndex(
+      embeddings: DataFrame, path: String, seed: Long = 42L, planes: Int = 0): Unit = {
+    val p = if (planes > 0) planes
+      else autoPlanes(embeddings.select("vec_id").count())
+    val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     embeddings
       .withColumn("sig", sigUdf(col("embedding")))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ann_meta.tsv"), s"$seed\t$p\n")
   }
 
-  def loadAnnIndex(spark: SparkSession, path: String, seed: Long = 42L): AnnIndex =
-    new AnnIndex(spark.read.parquet(path), seed)
+  def loadAnnIndex(spark: SparkSession, path: String): AnnIndex = {
+    val meta = java.nio.file.Paths.get(path, "_ann_meta.tsv")
+    require(java.nio.file.Files.exists(meta),
+      s"loadAnnIndex: missing $meta (index not written by saveAnnIndex?)")
+    val Array(seed, p) = java.nio.file.Files.readString(meta).trim.split("\t")
+    new AnnIndex(spark.read.parquet(path), seed.toLong, p.toInt)
+  }
 
   // ------------------------------------------------------------------ IVF
 
