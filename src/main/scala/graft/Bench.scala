@@ -210,6 +210,17 @@ object Bench {
     val best = perQuery.transpose.map(_.min)
     val p50Best = pctOf(best, 0.50)
     val p95Best = pctOf(best, 0.95)
+
+    // ---- batch serving: all 13 bot queries scored in ONE job ----
+    // the offline-evaluation shape — per-query fixed cost amortizes across
+    // the batch, so queries/sec here, not per-query latency, is the
+    // 100 TB relevance-sweep metric
+    val batchSec = {
+      val searcher = new Searcher(view)
+      val qs = botQueries.zipWithIndex.map { case (q, i) => (s"q$i", q) }
+      searcher.searchBatch(spark, qs, 10).count() // warm
+      (1 to 3).map(_ => time(searcher.searchBatch(spark, qs, 10).count())._2).min
+    }
     // builds/appends below want build-sized partitioning again
     spark.conf.set("spark.sql.shuffle.partitions", (2 * servingCores).toString)
 
@@ -278,7 +289,9 @@ object Bench {
       s""""speedup":${f"${bm25Stat.rebuild / bm25Stat.append}%.2f"}}},""" +
       s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},""" +
       s""""p50_best_sec":${f"$p50Best%.4f"},"p95_best_sec":${f"$p95Best%.4f"},""" +
-      s""""n":${latencies.length}}}"""
+      s""""n":${latencies.length}},""" +
+      s""""batch_serving":{"n_queries":${botQueries.length},"sec":${f"$batchSec%.3f"},""" +
+      s""""queries_per_sec":${f"${botQueries.length / batchSec}%.1f"}}}"""
     // bare JSON on stdout (build.sbt forwards the forked stdout undecorated)
     // + a file copy so the harness can parse it even through log noise
     println(json)

@@ -62,11 +62,15 @@ object LatencyProbe {
       t(searcher.searchBm25Wand(spark, q, 10).count())))
     val and = (1 to 4).flatMap(_ => botQueries.map(q =>
       t(searcher.search(spark, q, 10, And, Bm25).count())))
+    val bq = botQueries.zipWithIndex.map { case (q, i) => (s"q$i", q) }
+    searcher.searchBatch(spark, bq, 10).count() // warm
+    val batch = (1 to 4).map(_ => t(searcher.searchBatch(spark, bq, 10).count())).min
     println(f"[latency] cpus=$cpus convs=$nConvs parts=$serveParts " +
       f"aqe=${spark.conf.get("spark.sql.adaptive.enabled")} " +
       f"exact p50=${pct(exact, 0.5)}%.3f p95=${pct(exact, 0.95)}%.3f | " +
       f"wand p50=${pct(wand, 0.5)}%.3f p95=${pct(wand, 0.95)}%.3f | " +
-      f"and p50=${pct(and, 0.5)}%.3f p95=${pct(and, 0.95)}%.3f")
+      f"and p50=${pct(and, 0.5)}%.3f p95=${pct(and, 0.95)}%.3f | " +
+      f"batch13 sec=$batch%.3f qps=${botQueries.length / batch}%.1f")
     spark.stop()
   }
 }

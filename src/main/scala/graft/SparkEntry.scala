@@ -33,6 +33,19 @@ object SparkEntry {
   private val Q = Seq("data", "query", "fast", "table", "window")
   private def qIn = Q.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** Batch-serving query set (j1_batch_topk): overlapping term sets so the
+    * shared decode is exercised; one term repeated so query-tf > 1 is too. */
+  private val BatchQ: Seq[(String, String)] = Seq(
+    "q1" -> "data query fast table window",
+    "q2" -> "data fast data",
+    "q3" -> "window table query")
+
+  /** (qid, term, qtf) VALUES rows mirroring the analyzer's query-side tf. */
+  private def batchValues: String = BatchQ.flatMap { case (qid, text) =>
+    text.split(" ").groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (t, g) => s"('$qid', '$t', ${g.length})" }
+  }.mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- IR index build operators (through the real index tables) ----
     "a1_tf" -> ((s, dir) =>
@@ -105,6 +118,9 @@ object SparkEntry {
 
     "wand_topk" -> ((s, dir) => // oracled: == exact BM25 (sound pruning)
       Pipelines.searchWand(s, dir, Pipelines.FixedQuery, 10)),
+
+    "j1_batch_topk" -> ((s, dir) => // one job scores all three queries
+      Pipelines.searchBatchOrig(s, dir, BatchQ, 10)),
 
     // ---- dedup ----
     "dd_exact" -> ((s, dir) =>
@@ -273,6 +289,21 @@ object SparkEntry {
     // WAND is pruning-only (sound bounds): its top-k equals exact BM25, so
     // it shares the same DuckDB oracle (plus WandFuzzSpec equality fuzzing)
     "wand_topk" -> bm25TopkSql,
+
+    "j1_batch_topk" -> (P + s""",
+      |avgdl AS (SELECT avg(doc_len) AS a FROM stats),
+      |qt AS (SELECT * FROM (VALUES $batchValues) AS v(qid, qterm, qtf)),
+      |b25 AS (SELECT qt.qid, t.doc_id,
+      |  sum(qt.qtf * ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2)
+      |      / (t.tf + 1.2 * (0.25 + 0.75 * s.doc_len / avgdl.a))) AS score
+      |  FROM tf t JOIN qt ON t.term = qt.qterm
+      |  JOIN dict d USING (term) JOIN stats s USING (doc_id), nn, avgdl
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT qid, doc_id, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+      |  FROM b25 WHERE score > 0)
+      |SELECT qid AS query_id, doc_id, round(score, 6) AS score, rnk AS "rank"
+      |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
 
     "j4_and_docs" -> (P + s"""
       |SELECT doc_id FROM tf WHERE term IN $qIn

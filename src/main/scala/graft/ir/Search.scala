@@ -225,6 +225,88 @@ class Searcher(index: IndexView) extends Serializable {
   }
 
   /**
+   * Batch serving: score MANY queries in ONE Spark job — the offline
+   * evaluation / reranking shape (score a query log, build a training set,
+   * run a relevance sweep). Single-query serving pays ~0.2 s of fixed
+   * planning+scheduling per query; the batch path pays it once: the union
+   * of all queries' terms drives ONE pushed-`IN` decode, a small broadcast
+   * (query_id, term_id, weight) table fans each posting out to the queries
+   * that want it, one (query_id, doc_id) aggregation scores everything,
+   * and a per-query window takes each top-k. Per-query results are
+   * IDENTICAL to `search` (RankIdentitySpec asserts equality).
+   *
+   * Output: (query_id, doc_id, conv_id, score, rank), rank 1..k per query,
+   * ordered within a query by (score desc, doc_id asc). Queries that are
+   * empty after analysis/OOV-drop (or with qNorm 0 under cosine) simply
+   * produce no rows, exactly as `search` returns an empty frame.
+   */
+  def searchBatch(
+      spark: SparkSession,
+      queries: Seq[(String, String)],
+      k: Int,
+      scorer: Scorer = Bm25): DataFrame = {
+    import spark.implicits._
+    require(scorer != TfIdfCosine || cfg.cosineNorms,
+      "index was built with cosineNorms=false (BM25-only maintenance mode); " +
+        "tf-idf cosine scoring needs a norms rebuild")
+    val qts: Seq[(String, Seq[QueryTerm])] =
+      queries.map { case (qid, text) => qid -> queryTerms(spark, text) }
+    val live = qts.filter { case (_, ts) =>
+      ts.nonEmpty &&
+        (scorer != TfIdfCosine || math.sqrt(ts.map(t => t.qw * t.qw).sum) > 0.0)
+    }
+    val empty = spark.emptyDataset[(String, Long, String, Double, Int)]
+      .toDF("query_id", "doc_id", "conv_id", "score", "rank")
+    if (live.isEmpty) return empty
+
+    // (query_id, term_id, w): w = qwIdf for cosine, qtf·idf25 for BM25
+    val qTermRows = live.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t.termId, if (scorer == TfIdfCosine) t.qwIdf else t.qb))
+    }
+    val qTerms = broadcast(qTermRows.toDF("query_id", "term_id", "w"))
+    val termIds = live.flatMap(_._2.map(_.termId)).distinct
+
+    val decoded = decodedPostings(spark, termIds)
+    val k1 = cfg.k1
+    val b = cfg.b
+    val avgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+
+    val scored = scorer match {
+      case TfIdfCosine =>
+        val qNorms = typedLit(live.map { case (qid, ts) =>
+          qid -> math.sqrt(ts.map(t => t.qw * t.qw).sum)
+        }.toMap)
+        decoded.join(qTerms, "term_id")
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("w") * col("tf")).as("cnum"))
+          .join(index.docStats.select("doc_id", "conv_id", "max_tf", "norm"), "doc_id")
+          .withColumn("score",
+            when(col("max_tf") === 0 || col("norm") === 0.0, 0.0)
+              .otherwise(col("cnum") / col("max_tf") /
+                (element_at(qNorms, col("query_id")) * col("norm"))))
+      case Bm25 =>
+        decoded.join(qTerms, "term_id")
+          .groupBy("query_id", "doc_id")
+          .agg(collect_list(struct(col("w"), col("tf"))).as("contribs"))
+          .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
+          .withColumn("score",
+            aggregate(col("contribs"), lit(0.0), (acc, c) =>
+              acc + c.getField("w") * (c.getField("tf") * (k1 + 1)) /
+                (c.getField("tf") + lit(k1) *
+                  (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+    }
+
+    scored
+      .filter(col("score") > 0.0)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "conv_id", "score", "rank")
+  }
+
+  /**
    * Block-max pruned BM25 top-k (the north rule's WAND path).
    *
    * Sound two-phase distributed variant:

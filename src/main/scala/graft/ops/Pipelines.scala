@@ -101,6 +101,15 @@ object Pipelines {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  /** Batch search mapped to original doc ids (oracle comparison shape). */
+  def searchBatchOrig(
+      spark: SparkSession, sfDir: String,
+      queries: Seq[(String, String)], k: Int): DataFrame =
+    new Searcher(index(spark, sfDir)).searchBatch(spark, queries, k, Bm25)
+      .select(col("query_id"), origId(col("conv_id")).as("doc_id"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
   def searchWand(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
     val searcher = new Searcher(index(spark, sfDir))
     searcher.searchBm25Wand(spark, query, k)

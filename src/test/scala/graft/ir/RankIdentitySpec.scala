@@ -48,6 +48,36 @@ class RankIdentitySpec extends SparkSpec {
     runSet(view, Oracle.index(Fixtures.synthCorpus(spark, 200), cfg), "synth")
   }
 
+  test("batch serving == per-query serving, per query, both scorers") {
+    val view = IndexBuilder.build(spark, Fixtures.synthTurns(spark, 150))
+    val searcher = new Searcher(view)
+    // overlapping terms, a repeated term (qtf 2), an OOV-only query, an
+    // empty query — the last two must contribute no rows, like search()
+    val batch = Seq(
+      "a" -> "pais libre",
+      "b" -> "pais pais tecnologia",
+      "c" -> "zzzznotaword",
+      "d" -> "",
+      "e" -> "universidad riqueza atletismo argentina estado nacion")
+    for (scorer <- Seq[Scorer](Bm25, TfIdfCosine)) {
+      val got = searcher.searchBatch(spark, batch, K, scorer)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+        .groupBy(_._1)
+      assert(!got.contains("c") && !got.contains("d"))
+      batch.foreach { case (qid, text) =>
+        val single = searcher.search(spark, text, K, Or, scorer)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        val rows = got.getOrElse(qid, Array.empty).sortBy(_._4)
+        assert(rows.map(_._2).toSeq == single.map(_._1), s"$scorer '$qid': doc order")
+        rows.map(_._3).zip(single.map(_._2)).foreach { case (g, w) =>
+          assert(math.abs(g - w) < 1e-9, s"$scorer '$qid': score $g vs $w")
+        }
+        assert(rows.map(_._4).toSeq == (1 to rows.length), s"$scorer '$qid': ranks")
+      }
+    }
+  }
+
   test("query term with df == N (idf = 0) contributes zero, never NaN") {
     // regression (VERDICT r1 #1): w(t,q) recovered as qwIdf/idf was 0/0 = NaN
     // for a ubiquitous term; NaN passes `score > 0` and sorts first in Spark.
