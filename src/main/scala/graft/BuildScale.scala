@@ -5,19 +5,34 @@ import org.apache.spark.sql.SparkSession
 import graft.ir._
 
 /** Focused N vs 4N build-throughput probe (perf tooling): exactly Bench's
-  * build measurement, nothing else. SPARK_GRAFT_BENCH_N / _CONVS / _RUNS. */
+  * build measurement, nothing else. SPARK_GRAFT_BENCH_N / _CONVS / _RUNS;
+  * SPARK_GRAFT_CLUSTER=1 measures local-cluster[2,2] → [8,2] (separate
+  * executor JVMs) instead of in-JVM thread pairs. */
 object BuildScale {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  private def newSession(master: String, parts: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-buildscale-$cpus")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-buildscale")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -26,9 +41,11 @@ object BuildScale {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val cluster = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
+    val mem = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MEM", "6144")
 
-    def measure(cpus: Int): (Long, Double) = {
-      val spark = newSession(cpus)
+    def measure(master: String, parts: Int): (Long, Double) = {
+      val spark = newSession(master, parts)
       try {
         val w = Synth.turns(spark, math.max(1000, nConvs / 40), seed = 7L).cache()
         w.count(); IndexBuilder.build(spark, w, BuildConfig()).meta
@@ -47,11 +64,16 @@ object BuildScale {
       } finally spark.stop()
     }
 
-    val (n, secN) = measure(nCores)
+    val (masterN, partsN, master4N, parts4N) =
+      if (cluster) (s"local-cluster[2,2,$mem]", 8, s"local-cluster[8,2,$mem]", 32)
+      else (s"local[$nCores]", 2 * nCores, s"local[${4 * nCores}]", 8 * nCores)
+
+    val (n, secN) = measure(masterN, partsN)
     System.gc()
-    val (_, sec4N) = measure(4 * nCores)
+    val (_, sec4N) = measure(master4N, parts4N)
     val eff = (secN / sec4N) / 4.0
-    println(f"[buildscale] turns=$n N=$nCores secN=$secN%.2f sec4N=$sec4N%.2f " +
+    println(f"[buildscale] turns=$n masterN=$masterN secN=$secN%.2f " +
+      f"master4N=$master4N sec4N=$sec4N%.2f " +
       f"thrN=${n / secN}%.0f thr4N=${n / sec4N}%.0f efficiency=$eff%.3f")
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ir._
+import graft.streaming.StreamingIndexer
+
+/**
+ * Streaming-ingest throughput probe (perf tooling, X14): synth conversations
+ * arrive in waves on a MemoryStream, the sessionizer closes each wave when
+ * the next one's event time advances the watermark, and every micro-batch
+ * appends to the index. Reports end-to-end turns/sec (sessionize + tokenize
+ * + delta append, checkpointed) and the final index's doc count vs the
+ * batch-build truth. SPARK_GRAFT_BENCH_CONVS / SPARK_GRAFT_WAVES override.
+ */
+object StreamScale {
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_WAVES", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val T0 = 1577836800000L
+    // wave w = conversations with hash bucket w, every turn stamped at
+    // wave-start + turn_idx; waves a minute apart so wave w+1's arrival
+    // closes wave w (gap 30 s)
+    val all = Synth.turns(spark, nConvs).as[Turn].collect()
+    val byWave = all.groupBy(t => math.floorMod(t.conv_id.hashCode, waves))
+    val waveTurns = (0 until waves).map { w =>
+      byWave.getOrElse(w, Array.empty[Turn]).map(t =>
+        t.copy(ts = new Timestamp(T0 + w * 60000L + t.turn_idx * 100L)))
+    }
+    val totalTurns = waveTurns.map(_.length.toLong).sum
+
+    val dir = java.nio.file.Files.createTempDirectory("streamscale-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("streamscale-ckpt").toString
+    // BM25-only by default: the delta-only maintenance mode is what a
+    // continuously-appending stream wants (cosine mode re-aggregates the
+    // whole corpus's compact tf per micro-batch); SPARK_GRAFT_COSINE=1
+    // measures the parity mode for comparison
+    val cfg = BuildConfig(buckets = 4,
+      cosineNorms = sys.env.get("SPARK_GRAFT_COSINE").contains("1"))
+
+    val src = MemoryStream[Turn]
+    val t0 = System.nanoTime()
+    val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 30000L, ckpt, cfg)
+    try {
+      waveTurns.foreach { wt =>
+        src.addData(wt.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel far in the future closes the last wave; stays open itself
+      src.addData(Turn("zz_sentinel", 0, "user", "fin", null,
+        new Timestamp(T0 + (waves + 100) * 60000L)))
+      q.processAllAvailable()
+      src.addData(Turn("zz_sentinel", 1, "user", "fin", null,
+        new Timestamp(T0 + (waves + 101) * 60000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val view = IndexStore.load(spark, dir, cfg)
+    println(f"[streamscale] convs=$nConvs waves=$waves turns=$totalTurns " +
+      f"wall=$wall%.2fs turns_per_sec=${totalTurns / wall}%.0f " +
+      f"indexed_docs=${view.meta.docs} (expect $nConvs)")
+    spark.stop()
+  }
+}
