@@ -78,6 +78,29 @@ class QueryService(
     rows
   }
 
+  /** Batch endpoint (X19): score many queries in one job. Uncached by
+    * design — the batch shape is offline evaluation, where queries repeat
+    * across RUNS, not within one; each call logs one metric row per query.
+    * Returns (query_id, doc_id, conv_id, score, rank) rows. */
+  def searchBatch(
+      spark: SparkSession,
+      queries: Seq[(String, String)],
+      k: Int = 10,
+      scorer: Scorer = Bm25): Array[Row] = synchronized {
+    val t0 = now()
+    val rows = searcher.searchBatch(spark, queries, k, scorer).collect()
+    val byQid = rows.groupBy(_.getString(0))
+    val millis = now() - t0
+    queries.foreach { case (qid, text) =>
+      val terms = Analyzer.analyze(text, index.cfg.analyzer)
+      metrics += Metric(text, terms.distinct.length,
+        byQid.get(qid).map(_.length.toLong).getOrElse(0L),
+        millis / math.max(1, queries.length), cached = false,
+        "BatchOr", scorer.toString)
+    }
+    rows
+  }
+
   /** T3: page through results (page is 0-based). */
   def searchPage(
       spark: SparkSession,

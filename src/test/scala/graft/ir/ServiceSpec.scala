@@ -29,6 +29,21 @@ class ServiceSpec extends SparkSpec {
     assert(m0.nonEmpty)
   }
 
+  test("X19: batch endpoint matches per-query serving, logs one metric per query") {
+    val svc = new QueryService(view)
+    val rows = svc.searchBatch(spark,
+      Seq("a" -> "pais libre", "b" -> "tecnologia", "c" -> "zzzznotaword"))
+    val byQid = rows.groupBy(_.getString(0))
+    val single = svc.search(spark, "pais libre")
+    assert(byQid("a").sortBy(_.getInt(4)).map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      single.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    assert(!byQid.contains("c"))
+    val m = svc.queryMetrics(spark).collect()
+    assert(m.count(_.getAs[String]("mode") == "BatchOr") == 3)
+    assert(m.filter(_.getAs[String]("query") == "zzzznotaword")
+      .forall(_.getAs[Long]("matches") == 0L))
+  }
+
   test("WAND serving flag: identical rows to exact BM25, separate cache key") {
     val svc = new QueryService(view)
     val exact = svc.search(spark, "pais libre software")

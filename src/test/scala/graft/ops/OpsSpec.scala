@@ -319,4 +319,15 @@ class OpsSpec extends SparkSpec {
     }
     assert(Multimodal.decodeWav(withJunk)._1.toSeq == feat.toSeq)
   }
+
+  test("codec dispatch never throws: every truncation falls back cleanly") {
+    val ppm = Multimodal.encodePpm(4, 4, Array.fill(48)(7.toByte))
+    val wav = Multimodal.encodeWavPcm16(Array.tabulate[Short](16)(_.toShort))
+    for (full <- Seq("image/ppm" -> ppm, "audio/wav" -> wav); n <- 0 to full._2.length) {
+      val prefix = full._2.take(n)
+      val (feat, resized) = Multimodal.decode(full._1, prefix) // must not throw
+      assert(feat.length == Multimodal.FeatureDim)
+      assert(resized != null)
+    }
+  }
 }
