@@ -18,12 +18,16 @@ import graft.ir._
  *          (build + append as above, then compact the batch roots into
  *           <indexDir>-compacted and serve queries from THAT — drives
  *           IndexStore.compact end-to-end)
+ *        runMain graft.Demo --batch <sfDir> <indexDir> <query...>
+ *          (scores ALL queries in ONE Spark job — drives
+ *           Searcher.searchBatch end-to-end)
  */
 object Demo {
   def main(args: Array[String]): Unit = {
     val compactMode = args.headOption.contains("--compact")
     val appendMode = args.headOption.contains("--append") || compactMode
-    val rest = if (appendMode) args.drop(1) else args
+    val batchMode = args.headOption.contains("--batch")
+    val rest = if (appendMode || batchMode) args.drop(1) else args
     val sfDir = if (rest.length > 0) rest(0) else "/root/testdata/sf0.001"
     val indexDir = if (rest.length > 1) rest(1) else "/tmp/graft-demo-index"
     val queries = if (rest.length > 2) rest.drop(2).toSeq
@@ -74,6 +78,16 @@ object Demo {
       s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
 
     val searcher = new Searcher(view.pin()) // serving mode: hot tables cached
+    if (batchMode) {
+      val batch = queries.zipWithIndex.map { case (q, i) => (s"q$i", q) }
+      println(s"[demo] batch: ${batch.length} queries in one job (BM25 OR)")
+      searcher.searchBatch(spark, batch, 5).collect()
+        .sortBy(r => (r.getString(0), r.getInt(4)))
+        .foreach(r => println(
+          f"    ${r.getString(0)}  #${r.getInt(4)}  ${r.getString(2)}  ${r.getDouble(3)}%.6f"))
+      spark.stop()
+      return
+    }
     queries.foreach { q =>
       println(s"[demo] query: '$q'")
       println("  tf-idf cosine OR:")
