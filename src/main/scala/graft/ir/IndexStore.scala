@@ -633,10 +633,25 @@ object IndexStore {
     * default (the analyzer is part of the index, not of the session).
     * Serves dict/stats/meta from the latest committed append batch (if any)
     * and unions base + batch-delta postings/doc_map. */
-  def load(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): IndexView = {
+  /** Load the serving view — optionally AS OF a committed append batch
+    * (`asOf`), the Iceberg-snapshot analog the batch-root layout gives for
+    * free: batch roots are immutable, and every append's root carries the
+    * complete dictionary/meta (and, in cosine mode, stats) state of its
+    * moment, so reading base + batches ≤ asOf reproduces the index exactly
+    * as it stood after that append. `asOf = 0` loads the base build alone;
+    * the default loads the latest. An `asOf` that is neither 0 nor a
+    * committed batch fails loudly rather than silently serving a different
+    * snapshot. */
+  def load(
+      spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
+      asOf: Int = Int.MaxValue): IndexView = {
     import spark.implicits._
     val effective = readConfig(dir).getOrElse(cfg)
-    val committed = committedBatches(readManifest(dir))
+    val allCommitted = committedBatches(readManifest(dir))
+    require(asOf == Int.MaxValue || asOf == 0 || allCommitted.contains(asOf),
+      s"load: asOf=$asOf is not a committed batch of $dir " +
+        s"(committed: ${allCommitted.mkString(",")})")
+    val committed = allCommitted.filter(_ <= asOf)
     def latestOr(table: String): String =
       committed.lastOption.map(b => s"${batchDir(dir, b)}/$table")
         .getOrElse(s"$dir/$table")

@@ -178,6 +178,38 @@ class AppendSpec extends SparkSpec {
     assert(IndexStore.committedBatches(IndexStore.readManifest(dst)).isEmpty)
   }
 
+  test("snapshot load (asOf) reproduces each append's exact state") {
+    val all = Fixtures.synthTurns(spark, 90)
+    val b1 = all.filter(abs(xxhash64(col("conv_id"))) % 3 === 0)
+    val b2 = all.filter(abs(xxhash64(col("conv_id"))) % 3 === 1)
+    val b3 = all.filter(abs(xxhash64(col("conv_id"))) % 3 === 2)
+    val dir = graft.SparkSpec.tmpDir("asof-idx")
+    val base = IndexStore.buildAndSave(spark, b1, dir, BuildConfig(buckets = 4))
+    val afterB1 = (postingsByKey(base), dictByTerm(base),
+      scoresByConv(base, "pais libre", Bm25))
+    val mid = IndexStore.append(spark, b2, dir)
+    val afterB2 = (postingsByKey(mid), dictByTerm(mid),
+      scoresByConv(mid, "pais libre", Bm25))
+    IndexStore.append(spark, b3, dir)
+    val batches = IndexStore.load(spark, dir) // latest, to discover batch ids
+    // base snapshot: asOf = 0
+    val s0 = IndexStore.load(spark, dir, asOf = 0)
+    assert((postingsByKey(s0), dictByTerm(s0),
+      scoresByConv(s0, "pais libre", Bm25)) == afterB1)
+    // first-append snapshot: asOf = 1 (batch ids are 1-based, sequential)
+    val s1 = IndexStore.load(spark, dir, asOf = 1)
+    assert((postingsByKey(s1), dictByTerm(s1),
+      scoresByConv(s1, "pais libre", Bm25)) == afterB2)
+    assert(s1.meta.docs == mid.meta.docs && s0.meta.docs == base.meta.docs)
+    // latest snapshot == plain load
+    assert(postingsByKey(IndexStore.load(spark, dir, asOf = 2)) ==
+      postingsByKey(batches))
+    // unknown snapshot fails loudly
+    val e = intercept[IllegalArgumentException](
+      IndexStore.load(spark, dir, asOf = 9))
+    assert(e.getMessage.contains("not a committed batch"))
+  }
+
   test("old posting files are not rewritten by append") {
     val (_, b1, b2) = batches(80)
     val dir = graft.SparkSpec.tmpDir("app-ro")
