@@ -181,9 +181,7 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions",
         IndexView.servingPartitions(built.meta, spark).toString)
       val v = built.pin()
-      v.meta
-      v.termLookup
-      v.wandTermBounds
+      val _ = (v.meta, v.termLookup, v.wandTermBounds) // force lazy serving state
       v
     }
 
