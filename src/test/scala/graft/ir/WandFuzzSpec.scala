@@ -61,4 +61,37 @@ class WandFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("batch == single on 20 random query sets, both scorers") {
+    val view = IndexBuilder.build(spark, Fixtures.synthTurns(spark, 200))
+    val searcher = new Searcher(view)
+    val vocab = view.termDict.collect().map(_.term).sorted
+    (0 until 4).foreach { bi =>
+      // 5 random queries per batch, 1–4 terms each, with repeats possible
+      // (query-tf > 1) — scored in ONE job, then compared per query
+      val batch = (0 until 5).map { qi =>
+        val n = 1 + (mix(bi * 101 + qi) & 0x7FFFFFFF).toInt % 4
+        val terms = (0 until n).map { ti =>
+          vocab((mix(bi * 997 + qi * 31 + ti) & 0x7FFFFFFF).toInt % vocab.length)
+        }
+        s"q$qi" -> terms.mkString(" ")
+      }
+      for (scorer <- Seq[Scorer](Bm25, TfIdfCosine)) {
+        val got = searcher.searchBatch(spark, batch, 10, scorer)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+          .groupBy(_._1)
+        batch.foreach { case (qid, text) =>
+          val single = searcher.search(spark, text, 10, Or, scorer)
+            .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+          val rows = got.getOrElse(qid, Array.empty).sortBy(_._4)
+          assert(rows.map(_._2).toSeq == single.map(_._1),
+            s"batch $bi $scorer '$text': doc order")
+          rows.map(_._3).zip(single.map(_._2)).foreach { case (g, w) =>
+            assert(math.abs(g - w) < 1e-9, s"batch $bi $scorer '$text': score")
+          }
+        }
+      }
+    }
+  }
 }
