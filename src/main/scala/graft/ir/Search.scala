@@ -278,6 +278,10 @@ class Searcher(index: IndexView) extends Serializable {
     require(scorer != TfIdfCosine || cfg.cosineNorms,
       "index was built with cosineNorms=false (BM25-only maintenance mode); " +
         "tf-idf cosine scoring needs a norms rebuild")
+    // duplicate ids would silently merge two queries' contributions into
+    // one aggregation group — refuse loudly instead
+    require(queries.map(_._1).distinct.length == queries.length,
+      s"searchBatch: duplicate query_id in ${queries.map(_._1).mkString(",")}")
     val qts: Seq[(String, Seq[QueryTerm])] =
       queries.map { case (qid, text) => qid -> queryTerms(spark, text) }
     val live = qts.filter { case (_, ts) =>

@@ -76,6 +76,10 @@ class RankIdentitySpec extends SparkSpec {
         assert(rows.map(_._4).toSeq == (1 to rows.length), s"$scorer '$qid': ranks")
       }
     }
+    // duplicate query ids would merge contribution groups — refused loudly
+    val dup = intercept[IllegalArgumentException](
+      searcher.searchBatch(spark, Seq("x" -> "pais", "x" -> "libre"), K))
+    assert(dup.getMessage.contains("duplicate query_id"))
   }
 
   test("query term with df == N (idf = 0) contributes zero, never NaN") {
