@@ -296,9 +296,14 @@ object Similarity {
     // set is hash-defined, the sequence driver-sorted: both
     // partitioning-independent.
     val keepFrac = math.min(1.0, 2.0 * sampleN / n)
+    // exact unsigned offset arithmetic: (keepFrac * 2^64).toLong saturates
+    // at Long.MaxValue for keepFrac > 0.5, which would silently clamp the
+    // threshold to ~50% — route through BigDecimal so MinValue + offset is
+    // computed in full precision and only then narrowed
     val thresh =
       if (keepFrac >= 1.0) Long.MaxValue
-      else Long.MinValue + (keepFrac * 1.8446744073709552e19).toLong
+      else (BigDecimal(Long.MinValue) +
+        BigDecimal(keepFrac) * BigDecimal(2).pow(64)).toLong
     val sample: Array[Array[Double]] = input
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .filter(col("h") <= thresh)
