@@ -66,7 +66,7 @@ object AnnCompare {
 
       def report(name: String, buildSec: Double,
           query: (Array[Float], Long) => Array[Long]): Unit = {
-        var warm = query(queryVecs(queryIds.head), queryIds.head) // warm cache
+        query(queryVecs(queryIds.head), queryIds.head) // warm cache
         var recall = 0.0
         val (_, qSec) = t {
           queryIds.foreach { qid =>

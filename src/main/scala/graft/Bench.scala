@@ -23,16 +23,6 @@ import graft.ir._
  */
 object Bench {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-
   private def newSession(master: String, shufflePartitions: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -48,7 +38,7 @@ object Bench {
       // driver got from build.sbt; java.class.path carries the exact forked
       // classpath (absolute paths)
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.extraJavaOptions", JvmOpens.forExecutors)
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -161,8 +151,16 @@ object Bench {
           s""""scaling_efficiency":${f"$cEff%.3f"}}"""
       } catch {
         case e: Throwable =>
-          s""""cluster":{"skipped":"${e.getClass.getSimpleName}: ${
-            Option(e.getMessage).getOrElse("").replace('"', '\'').take(120)}"}"""
+          // full JSON string escape: exception messages carry newlines,
+          // which would break the one-line bench JSON contract
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .take(120).flatMap {
+              case '"' => "\\\""
+              case '\\' => "\\\\"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            }
+          s""""cluster":{"skipped":"$msg"}"""
       }
     }
 

@@ -10,16 +10,6 @@ import graft.ir._
   * executor JVMs) instead of in-JVM thread pairs. */
 object BuildScale {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-
   private def newSession(master: String, parts: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -31,7 +21,7 @@ object BuildScale {
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.extraJavaOptions", JvmOpens.forExecutors)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

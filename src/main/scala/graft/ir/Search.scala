@@ -226,11 +226,13 @@ class Searcher(index: IndexView) extends Serializable {
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
           .withColumn("score", sat)
       case Bm25 =>
+        // long-query fallback: term_id-led struct + array_sort makes the
+        // fold order deterministic (collect_list arrival order is not)
         val perDoc = decoded
           .withColumn("qb", element_at(qbMap, col("term_id")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nterms"),
-            collect_list(struct(col("qb"), col("tf"))).as("contribs"))
+            collect_list(struct(col("term_id"), col("qb"), col("tf"))).as("contribs"))
         val matched = mode match {
           case Or  => perDoc
           case And => perDoc.filter(col("nterms") === qts.length)
@@ -238,7 +240,7 @@ class Searcher(index: IndexView) extends Serializable {
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
           .withColumn("score",
-            aggregate(col("contribs"), lit(0.0), (acc, c) =>
+            aggregate(array_sort(col("contribs")), lit(0.0), (acc, c) =>
               acc + c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
                 (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
     }
@@ -318,12 +320,16 @@ class Searcher(index: IndexView) extends Serializable {
               .otherwise(col("cnum") / col("max_tf") /
                 (element_at(qNorms, col("query_id")) * col("norm"))))
       case Bm25 =>
+        // term_id leads the struct and the list is sorted before folding:
+        // collect_list order is shuffle-arrival order, so an unsorted fold
+        // would sum in a nondeterministic sequence — ulp-level score drift
+        // run to run, and vs the single-query path's term_id-ordered sum
         decoded.join(qTerms, "term_id")
           .groupBy("query_id", "doc_id")
-          .agg(collect_list(struct(col("w"), col("tf"))).as("contribs"))
+          .agg(collect_list(struct(col("term_id"), col("w"), col("tf"))).as("contribs"))
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
           .withColumn("score",
-            aggregate(col("contribs"), lit(0.0), (acc, c) =>
+            aggregate(array_sort(col("contribs")), lit(0.0), (acc, c) =>
               acc + c.getField("w") * (c.getField("tf") * (k1 + 1)) /
                 (c.getField("tf") + lit(k1) *
                   (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))

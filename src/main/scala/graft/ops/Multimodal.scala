@@ -144,6 +144,8 @@ object Multimodal {
       require(sz >= 0, "WAV: corrupt chunk size")
       if (id == "fmt ") {
         require(u16(pos + 8) == 1, "WAV: only PCM (format 1) supported")
+        require(u16(pos + 10) == 1,
+          "WAV: only mono supported (interleaved channels would mix)")
         require(u16(pos + 22) == 16, "WAV: only 16-bit samples supported")
         fmtOk = true
       } else if (id == "data") {

@@ -25,6 +25,12 @@ object Similarity {
 
   val NumPlanes = 8 // default: 256 buckets; hamming<=2 probe = 37/256 ≈ 14%
 
+  /** Per-query cap on enumerated probe buckets (initial probes + ring
+    * widening). Past it, the query falls back to ONE exact full scan — at
+    * that point the rings cover a large corpus fraction anyway, and a scan
+    * beats a combinatorial IN list in both planning and execution. */
+  val MaxProbeBuckets = 4096L
+
   /** Auto-sized hyperplane count: target ~16 vectors per bucket —
     * `ceil(log2(n/16))` clamped to [4, 24]. More planes = smaller buckets =
     * sharper pruning; ring-widening already guarantees k results, so the
@@ -104,9 +110,13 @@ object Similarity {
     /**
      * Top-k by exact cosine among vectors within `probeHamming` of the
      * query signature; widens one hamming ring at a time (scanning ONLY the
-     * new ring's buckets) while fewer than k hits — never a full-corpus
-     * fallback. Eager: runs 1 Spark job (plus 1 per extra ring, rare), the
-     * collected top-k is returned as a small local DataFrame.
+     * new ring's buckets) while fewer than k hits. The per-query probe
+     * enumeration is budgeted ([[Similarity.MaxProbeBuckets]]): with
+     * auto-sized plane counts, C(planes, h) grows combinatorially, and a
+     * ring that would blow the budget means the query needs a large slice
+     * of the corpus anyway — so the widening ends in ONE exact full scan
+     * (still correct, recall 1) instead of a million-literal IN filter.
+     * Eager: 1 Spark job plus 1 per extra ring (rare).
      */
     def query(
         query: Array[Float],
@@ -118,9 +128,8 @@ object Similarity {
       val qLit = typedLit(query.map(_.toDouble / qNorm).toSeq)
       val qSig = signature(query.toSeq, seed, planes)
 
-      def scan(probes: Seq[Int]): Array[Row] =
-        data
-          .filter(col("sig").isin(probes: _*)) // pushed: batch/partition pruning
+      def scan(probes: Option[Seq[Int]]): Array[Row] =
+        probes.fold(data)(p => data.filter(col("sig").isin(p: _*))) // pushed
           .filter(col("vec_id") =!= excludeId)
           .withColumn("cosine", dotCol(col("embedding"), qLit))
           .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -128,12 +137,31 @@ object Similarity {
           .select("vec_id", "cosine")
           .collect()
 
-      var hits = scan((0 to probeHamming).flatMap(ring(qSig, _, planes)))
-      var h = probeHamming
-      while (hits.length < k && h < planes) {
+      def binom(n: Int, r: Int): Long =
+        (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i) // exact, n ≤ 24
+
+      // initial probe set, clamped to the budget (a caller-passed wide
+      // probeHamming with many planes must not enumerate millions)
+      var probed = 0L
+      var h = -1
+      while (h < probeHamming && probed + binom(planes, h + 1) <= MaxProbeBuckets) {
         h += 1
-        hits = (hits ++ scan(ring(qSig, h, planes)))
-          .sortBy(r => (-r.getDouble(1), r.getLong(0))).take(k)
+        probed += binom(planes, h)
+      }
+      var hits =
+        if (h < 0) scan(None) // budget smaller than ring 0: exact scan
+        else scan(Some((0 to h).flatMap(ring(qSig, _, planes))))
+      var exact = h < 0
+      while (hits.length < k && h < planes && !exact) {
+        h += 1
+        if (probed + binom(planes, h) > MaxProbeBuckets) {
+          hits = scan(None) // exact full scan: complete answer, stop widening
+          exact = true
+        } else {
+          probed += binom(planes, h)
+          hits = (hits ++ scan(Some(ring(qSig, h, planes))))
+            .sortBy(r => (-r.getDouble(1), r.getLong(0))).take(k)
+        }
       }
       val schema = StructType(Seq(
         StructField("vec_id", LongType, nullable = false),
