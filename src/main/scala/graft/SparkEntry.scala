@@ -234,7 +234,12 @@ object SparkEntry {
     |SELECT doc_id, round(score, 6) AS score FROM b25 WHERE score > 0
     |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    staticOracles ++
+      lshOracle.map("sim_ann_lsh" -> _) ++
+      ivfOracle.map("sim_ann_ivf" -> _)
+
+  private def staticOracles: Map[String, String] = Map(
     "a1_tf" -> (P +
       "SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term"),
 
@@ -430,6 +435,40 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
     },
 
+    // full 31-base mod-(2^61-1) rolling fingerprint in SQL (closes the r3
+    // no_oracle): HUGEINT carries the modular state; per-token hashes come
+    // from a char-recursion over the DISTINCT vocabulary (tiny), and the
+    // doc-level fold is linearized — fp = Σ_i F(tok_i ++ ' ')·31^{suffix_i}
+    // mod M, with the 31-powers from a single recursive chain (fold(h, s) =
+    // h·31^{len s} + F(s) mod M, applied right-to-left). Token-less docs
+    // carry fingerprint 0 (left join + coalesce), as the engine does.
+    "tx_fingerprint" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+        |ftok AS (SELECT doc_id, t, i, length(t) + 1 AS sl FROM tok0 WHERE length(t) BETWEEN 3 AND 23),
+        |toks AS (SELECT DISTINCT t || ' ' AS s FROM ftok),
+        |f(s, i, h) AS (
+        |  SELECT s, 0, 0::HUGEINT FROM toks
+        |  UNION ALL
+        |  SELECT s, i + 1, (h * 31 + unicode(substr(s, i + 1, 1))) % 2305843009213693951::HUGEINT
+        |  FROM f WHERE i < length(s)),
+        |tokh AS (SELECT s, h FROM f WHERE i = length(s)),
+        |pos AS (SELECT doc_id, t,
+        |          sum(sl) OVER (PARTITION BY doc_id) - sum(sl) OVER (PARTITION BY doc_id ORDER BY i) AS suffix
+        |        FROM ftok),
+        |maxs AS (SELECT coalesce(max(suffix), 0)::INT AS m FROM pos),
+        |pw(i, p) AS (
+        |  SELECT 0, 1::HUGEINT
+        |  UNION ALL
+        |  SELECT i + 1, (p * 31) % 2305843009213693951::HUGEINT FROM pw WHERE i < (SELECT m FROM maxs)),
+        |contrib AS (
+        |  SELECT pos.doc_id, (tokh.h * pw.p) % 2305843009213693951::HUGEINT AS c
+        |  FROM pos JOIN tokh ON tokh.s = pos.t || ' ' JOIN pw ON pw.i = pos.suffix),
+        |fp AS (SELECT doc_id, sum(c) % 2305843009213693951::HUGEINT AS f FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, coalesce(fp.f, 0)::BIGINT AS fingerprint
+        |FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "tx_token_counts" ->
       """SELECT doc_id,
         |len(string_split(text, ' ')) AS ws_tokens,
@@ -477,4 +516,111 @@ object SparkEntry {
         |  least(256, len - i*256)::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
+
+  /** Shortest-round-trip double literal (Double.toString): DuckDB's decimal
+    * parse recovers the identical IEEE754 value, so geometry embedded in the
+    * oracle SQL is bit-equal to what the engine probes with. */
+  private def dlit(x: Double): String = java.lang.Double.toString(x)
+
+  /**
+   * Contract oracle for `sim_ann_lsh` (closes the r3 no_oracle): the probe
+   * geometry — the hyperplane matrix, a pure function of (seed, plane, dim)
+   * — is embedded as literals, and the SQL independently recomputes every
+   * vector's signature, the query signature, the hamming-ring widening rule
+   * (initial radius from the budget loop, +1 ring while candidates < k,
+   * capped at `planes`) and the exact-cosine top-k over the probed set.
+   * Emitted only when the geometry makes the engine's budget fallback
+   * unreachable (2^planes ≤ MaxProbeBuckets ⇔ planes ≤ 12 — always true for
+   * auto-sized indexes below ~10^8 vectors), so SQL and engine provably
+   * follow the same control path. None → driver rows-only check.
+   */
+  private def lshOracle: Option[String] = Pipelines.builtAnn.flatMap { idx =>
+    val p = idx.planes
+    val k = 10
+    if (p > 12 || idx.dims <= 0) None
+    else {
+      val w = Similarity.planeMatrix(idx.seed, p, idx.dims)
+      // engine's initial-probe budget loop (AnnIndex.query, probeHamming=2)
+      def binom(n: Int, r: Int): Long =
+        (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+      var probed = 0L
+      var h = -1
+      while (h < 2 && probed + binom(p, h + 1) <= Similarity.MaxProbeBuckets) {
+        h += 1; probed += binom(p, h)
+      }
+      val hInit = h
+      val planesValues = (0 until p).map(i =>
+        s"($i, [${w(i).map(dlit).mkString(", ")}]::DOUBLE[])").mkString(", ")
+      Some(s"""WITH pl(p, w) AS (VALUES $planesValues),
+        |sg AS (
+        |  SELECT e.vec_id,
+        |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+        |        THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings e CROSS JOIN pl GROUP BY 1),
+        |q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(list_dot_product(e, e)) AS n FROM q),
+        |qv AS (SELECT list_transform(q.e, x -> x / qn.n) AS v FROM q, qn),
+        |qs AS (SELECT sig AS qsig FROM sg WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], qv.v) AS cosine,
+        |    bit_count(xor(sg.sig, qs.qsig)) AS ham
+        |  FROM embeddings e JOIN sg USING (vec_id), qv, qs
+        |  WHERE e.vec_id <> 0),
+        |hstar AS (
+        |  SELECT coalesce(min(i), $p) AS h FROM range($hInit, $p + 1) r(i)
+        |  WHERE (SELECT count(*) FROM cand WHERE ham <= i) >= $k),
+        |topk AS (
+        |  SELECT vec_id, cosine FROM cand, hstar WHERE ham <= hstar.h
+        |  ORDER BY cosine DESC, vec_id ASC LIMIT $k)
+        |SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine FROM topk
+        |ORDER BY cosine DESC, vec_id ASC""".stripMargin)
+    }
+  }
+
+  /**
+   * Contract oracle for `sim_ann_ivf`: the trained centroids (deterministic
+   * — sample selection, Lloyd arithmetic and 1e-6 quantization are all
+   * data-defined, IvfDeterminism spec) are embedded as literals; the SQL
+   * independently recomputes every vector's cell assignment (first-max-wins
+   * argmax, as the engine's strict-> scan), the query's cell preference
+   * order, the cell-widening rule (start at nprobe=2, +1 cell while
+   * candidates < k) and the exact-cosine top-k over the probed cells.
+   */
+  private def ivfOracle: Option[String] = Pipelines.builtIvf.flatMap { idx =>
+    val cents = idx.centroids
+    val nCells = cents.length
+    val k = 10
+    val nprobe = 2
+    if (nCells == 0 || nCells > 4096) None
+    else {
+      val centValues = cents.indices.map(c =>
+        s"($c, [${cents(c).map(dlit).mkString(", ")}]::DOUBLE[])").mkString(", ")
+      Some(s"""WITH ct(c, v) AS (VALUES $centValues),
+        |asg AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT e.vec_id, ct.c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.embedding::DOUBLE[], ct.v) DESC, ct.c ASC) AS rn
+        |    FROM embeddings e CROSS JOIN ct) WHERE rn = 1),
+        |q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(list_dot_product(e, e)) AS n FROM q),
+        |qv AS (SELECT list_transform(q.e, x -> x / qn.n) AS v FROM q, qn),
+        |pref AS (
+        |  SELECT ct.c, row_number() OVER (
+        |    ORDER BY list_dot_product(qv.v, ct.v) DESC, ct.c ASC) AS rk
+        |  FROM ct, qv),
+        |cand AS (
+        |  SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], qv.v) AS cosine, pref.rk
+        |  FROM embeddings e JOIN asg USING (vec_id) JOIN pref USING (c), qv
+        |  WHERE e.vec_id <> 0),
+        |mstar AS (
+        |  SELECT coalesce(min(i), $nCells) AS m FROM range($nprobe, $nCells + 1) r(i)
+        |  WHERE (SELECT count(*) FROM cand WHERE rk <= i) >= $k),
+        |topk AS (
+        |  SELECT vec_id, cosine FROM cand, mstar WHERE rk <= mstar.m
+        |  ORDER BY cosine DESC, vec_id ASC LIMIT $k)
+        |SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine FROM topk
+        |ORDER BY cosine DESC, vec_id ASC""".stripMargin)
+    }
+  }
 }

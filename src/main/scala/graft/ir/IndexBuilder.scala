@@ -1,8 +1,7 @@
 package graft.ir
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -164,29 +163,52 @@ object IndexBuilder {
 
   /**
    * Deterministic dense id assignment: global sort by a unique key, then
-   * per-partition counts + prefix-sum offsets (RDD zipWithIndex is exactly
-   * that two-phase algorithm). Never `monotonically_increasing_id` (partition
-   * -order dependent) and never a global single-partition window
-   * (SURVEY.md §7.4 risk 1). Result is independent of parallelism because
-   * the sort key is unique, so the total order is data-defined.
+   * per-partition counts + prefix-sum offsets. Result is independent of
+   * parallelism because the sort key is unique, so the total order is
+   * data-defined; range partitions only move the (sorted) boundaries.
+   *
+   * Two-phase mechanics, all inside Tungsten (r3 verdict: the previous
+   * `rdd.zipWithIndex` implementation was the build's only Amdahl term —
+   * a job barrier PLUS a per-row external-Row round-trip on both sides):
+   *  1. `monotonically_increasing_id()` on the sorted plan encodes
+   *     (partition, local row number) as pid·2^33 + i — a codegen'd counter.
+   *  2. ONE count job over the compiled RDD collects per-partition sizes;
+   *     running both this job and the downstream consumers against the SAME
+   *     RDD instance reuses the range-exchange map stage across jobs, so
+   *     upstream lineage (e.g. the distinct over the turns table) is scanned
+   *     once, exactly as zipWithIndex did.
+   *  3. The dense id is then the pure column expression
+   *     offset[mono >>> 33] + (mono & (2^33-1)) — no external rows, no
+   *     non-codegen hop, and the barrier job now carries no sort-payload
+   *     serialization cost.
+   * Raw `monotonically_increasing_id` alone would be partition-order
+   * dependent (SURVEY.md §7.4 risk 1); anchored to the deterministic sort
+   * and rebased by counted offsets it is exactly the data-defined rank.
    */
   private[graft] def zipWithDenseId(
       df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val spark = df.sparkSession
     val parts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val sorted = df.repartitionByRange(parts, order: _*)
+    val withMono = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
-    // zipWithIndex runs one extra count job over `sorted`; the repartition
-    // exchange is reused across the two executions (Spark shuffle reuse), so
-    // only the in-partition sort re-runs — cheaper than caching serialized
-    // Rows (measured)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
+      .withColumn("__mono", monotonically_increasing_id())
+    val rdd = GraftBridge.toInternalRdd(withMono)
+    val counts: Array[Long] = spark.sparkContext.runJob(
+      rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      })
+    val offsets: Map[Long, Long] = counts.indices
+      .map(p => p.toLong -> counts.take(p).sum).toMap
+    GraftBridge.internalCreateDataFrame(spark, rdd, withMono.schema)
+      .withColumn(idName,
+        element_at(typedLit(offsets), shiftrightunsigned(col("__mono"), 33)) +
+          col("__mono").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__mono")
   }
 
   /** Broadcast a dimension table while it fits, shuffle-join past it. */

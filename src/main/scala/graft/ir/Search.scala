@@ -1,7 +1,8 @@
 package graft.ir
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 sealed trait QueryMode
 case object Or extends QueryMode  // disjunctive union-accumulate (reference serving path)
@@ -85,6 +86,20 @@ class Searcher(index: IndexView) extends Serializable {
     * sums (flat codegen agg); longer queries take the collect_list fold
     * (agg row width stays bounded). */
   private[graft] val ScoreColumnsMaxTerms: Int = 16
+
+  /** BM25 accumulation grid: every per-term contribution is quantized to
+    * decimal(30,15) and summed in EXACT decimal arithmetic. Decimal addition
+    * is associative and commutative, so the single-query fixed-order fold,
+    * the long-query array fold and the batch path's hash-aggregate `sum`
+    * all produce the IDENTICAL score for the same postings in ANY execution
+    * order — bit-stable run to run (a plain double sum drifts at ulp level
+    * with shuffle arrival order) and bit-equal batch vs single
+    * (RankIdentitySpec). Scale 15 keeps the binary Add within precision 38
+    * (30+30 → 31, cast back lossless: contributions are < 10^6), and the
+    * 1e-15 quantum is ~1e-17 relative on BM25 scores — invisible at the
+    * oracle's 1e-6 rounding. */
+  private val Dec = DecimalType(30, 15)
+  private def decZero: Column = lit(java.math.BigDecimal.ZERO).cast(Dec)
 
   /**
    * J4 block-skip for AND queries — the Spark form of the reference's √df
@@ -218,16 +233,17 @@ class Searcher(index: IndexView) extends Serializable {
         }
         val sat = qts.map { q =>
           val tf = col(s"tf_${q.termId}")
-          when(tf.isNull, 0.0).otherwise(
-            lit(q.qb) * (tf * (k1 + 1)) /
-              (tf + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
-        }.reduce(_ + _)
+          when(tf.isNull, decZero).otherwise(
+            (lit(q.qb) * (tf * (k1 + 1)) /
+              (tf + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))).cast(Dec))
+        }.reduce((a, c) => (a + c).cast(Dec))
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
-          .withColumn("score", sat)
+          .withColumn("score", sat.cast("double"))
       case Bm25 =>
-        // long-query fallback: term_id-led struct + array_sort makes the
-        // fold order deterministic (collect_list arrival order is not)
+        // long-query fallback: per-doc contribution list folded in exact
+        // decimal — order-independent by construction (see Dec), so no sort
+        // is needed before the fold
         val perDoc = decoded
           .withColumn("qb", element_at(qbMap, col("term_id")))
           .groupBy("doc_id")
@@ -240,9 +256,11 @@ class Searcher(index: IndexView) extends Serializable {
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
           .withColumn("score",
-            aggregate(array_sort(col("contribs")), lit(0.0), (acc, c) =>
-              acc + c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
-                (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+            aggregate(col("contribs"), decZero, (acc, c) =>
+              (acc + (c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
+                (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
+                .cast(Dec)).cast(Dec))
+              .cast("double"))
     }
 
     scored0
@@ -320,29 +338,44 @@ class Searcher(index: IndexView) extends Serializable {
               .otherwise(col("cnum") / col("max_tf") /
                 (element_at(qNorms, col("query_id")) * col("norm"))))
       case Bm25 =>
-        // term_id leads the struct and the list is sorted before folding:
-        // collect_list order is shuffle-arrival order, so an unsorted fold
-        // would sum in a nondeterministic sequence — ulp-level score drift
-        // run to run, and vs the single-query path's term_id-ordered sum
-        decoded.join(qTerms, "term_id")
+        // doc_len and conv_id join the DECODED postings once (guarded
+        // broadcast — 1 probe per posting, not per (query, posting) pair),
+        // the per-posting BM25 term is a codegen expression, and the
+        // per-(query, doc) accumulation is a plain hash-aggregate `sum` over
+        // exact decimal — order-independent, so it is bit-equal to the
+        // single-query path's fixed-order fold (see Dec). This replaces the
+        // r3 collect_list/ObjectHashAggregate + post-agg stats join shape,
+        // which paid a per-group list materialization and a second join
+        // (r3 verdict #5: batch amortization was ~12%).
+        val dl = index.docStats.select("doc_id", "conv_id", "doc_len")
+        val dlDim =
+          if (index.meta.docs <= IndexBuilder.BroadcastRowLimit) broadcast(dl) else dl
+        decoded
+          .join(dlDim, "doc_id")
+          .join(qTerms, "term_id")
+          .withColumn("c",
+            (col("w") * (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
+              .cast(Dec))
           .groupBy("query_id", "doc_id")
-          .agg(collect_list(struct(col("term_id"), col("w"), col("tf"))).as("contribs"))
-          .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
-          .withColumn("score",
-            aggregate(array_sort(col("contribs")), lit(0.0), (acc, c) =>
-              acc + c.getField("w") * (c.getField("tf") * (k1 + 1)) /
-                (c.getField("tf") + lit(k1) *
-                  (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+          .agg(min("conv_id").as("conv_id"), sum(col("c")).as("sdec"))
+          .withColumn("score", col("sdec").cast("double"))
     }
 
+    // bounded per-query top-k heap aggregate instead of a row_number window:
+    // partial aggregation keeps ≤ k rows per (query, task) before the
+    // exchange and nothing sorts a full match list (TopKAggregator)
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
     scored
       .filter(col("score") > 0.0)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "conv_id", "score", "rank")
+      .groupBy("query_id")
+      .agg(topk(col("doc_id"), col("conv_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"),
+        col("h.doc_id").as("doc_id"),
+        col("h.conv_id").as("conv_id"),
+        col("h.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /**

@@ -56,6 +56,20 @@ object Pipelines {
     ivfMemo.computeIfAbsent(sfDir, dir =>
       Similarity.buildIvfIndex(embeddings(spark, dir)))
 
+  /** The ANN/IVF index built by this JVM's query run, if exactly one sfDir
+    * was exercised — SparkEntry.oracleSql embeds its geometry (planes /
+    * centroids) into the contract-verification SQL after Verify has run the
+    * queries. None (→ rows-only check) when nothing or several were built. */
+  def builtAnn: Option[Similarity.AnnIndex] = {
+    import scala.jdk.CollectionConverters._
+    annMemo.values.asScala.toList match { case idx :: Nil => Some(idx); case _ => None }
+  }
+
+  def builtIvf: Option[Similarity.IvfIndex] = {
+    import scala.jdk.CollectionConverters._
+    ivfMemo.values.asScala.toList match { case idx :: Nil => Some(idx); case _ => None }
+  }
+
   /** Build (once per sfDir per JVM) the full inverted index over the
     * documents corpus, pinned in the serving layout (term_id-clustered
     * postings, doc_id-co-partitioned stats). All IR queries below read from

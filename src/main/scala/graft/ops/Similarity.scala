@@ -78,6 +78,12 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 
+  /** The hyperplane weight matrix [planes][dims] — exposed so the driver's
+    * contract oracle (SparkEntry) can embed the exact geometry the index
+    * probes with into self-contained verification SQL. */
+  private[graft] def planeMatrix(seed: Long, planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, d) => plane(seed, p, d))
+
   private[ops] def signature(vec: Seq[Float], seed: Long, planes: Int = NumPlanes): Int = {
     var sig = 0
     var p = 0
@@ -105,7 +111,8 @@ object Similarity {
    * retrieval data loaded at server start (`ir_manager.py:137-156`).
    */
   final class AnnIndex private[ops] (
-      val data: DataFrame, val seed: Long, val planes: Int = NumPlanes) {
+      val data: DataFrame, val seed: Long, val planes: Int = NumPlanes,
+      val dims: Int = 0) {
 
     /**
      * Top-k by exact cosine among vectors within `probeHamming` of the
@@ -179,37 +186,70 @@ object Similarity {
   def buildAnnIndex(embeddings: DataFrame, seed: Long = 42L, planes: Int = 0): AnnIndex = {
     val p = if (planes > 0) planes
       else autoPlanes(embeddings.select("vec_id").count())
+    // dims: one single-row job (first() on a column-pruned scan) — recorded
+    // on the index so the oracle/probe geometry is self-describing
+    val dims = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
     val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     val df = embeddings
       .withColumn("sig", sigUdf(col("embedding")))
       .repartition(col("sig"))
       .sortWithinPartitions("sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new AnnIndex(df, seed, p)
+    new AnnIndex(df, seed, p, dims)
+  }
+
+  /** Sidecar I/O through the output path's Hadoop FileSystem (ADVICE r3):
+    * the vectors go through Spark's Hadoop writers, so a java.nio local-file
+    * sidecar would hard-fail on hdfs:// or s3:// paths AFTER the expensive
+    * parquet write — route the sidecar through the same FileSystem. */
+  private def writeSidecar(spark: SparkSession, dir: String, name: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Durable index: parquet laid out `partitionBy(sig)` — the probe filter
     * becomes directory-level partition pruning (the 100 TB path; auto-sized
-    * planes keep buckets bounded at any corpus size). Seed and plane count
-    * ride a sidecar so the loaded index probes with the ingest geometry. */
+    * planes keep buckets bounded at any corpus size). Seed, plane count and
+    * dims ride a sidecar so the loaded index probes with the ingest
+    * geometry; the sidecar goes through the path's Hadoop FileSystem so
+    * non-local destinations (hdfs://, s3a://) work like the data does. */
   def saveAnnIndex(
       embeddings: DataFrame, path: String, seed: Long = 42L, planes: Int = 0): Unit = {
     val p = if (planes > 0) planes
       else autoPlanes(embeddings.select("vec_id").count())
+    val dims = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
     val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     embeddings
       .withColumn("sig", sigUdf(col("embedding")))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_ann_meta.tsv"), s"$seed\t$p\n")
+    writeSidecar(embeddings.sparkSession, path, "_ann_meta.tsv", s"$seed\t$p\t$dims\n")
   }
 
   def loadAnnIndex(spark: SparkSession, path: String): AnnIndex = {
-    val meta = java.nio.file.Paths.get(path, "_ann_meta.tsv")
-    require(java.nio.file.Files.exists(meta),
-      s"loadAnnIndex: missing $meta (index not written by saveAnnIndex?)")
-    val Array(seed, p) = java.nio.file.Files.readString(meta).trim.split("\t")
-    new AnnIndex(spark.read.parquet(path), seed.toLong, p.toInt)
+    val meta = readSidecar(spark, path, "_ann_meta.tsv").getOrElse(
+      throw new IllegalArgumentException(
+        s"loadAnnIndex: missing $path/_ann_meta.tsv (index not written by saveAnnIndex?)"))
+    val Array(seed, p, dims) = meta.trim.split("\t")
+    new AnnIndex(spark.read.parquet(path), seed.toLong, p.toInt, dims.toInt)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -406,15 +446,15 @@ object Similarity {
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     idx.data.write.mode("overwrite").partitionBy("cell").parquet(path)
     val lines = idx.centroids.map(_.mkString("[", ",", "]"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.jsonl"),
+    writeSidecar(idx.data.sparkSession, path, "_centroids.jsonl",
       lines.mkString("", "\n", "\n"))
   }
 
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val cents = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(path, "_centroids.jsonl"))
-      .toArray(Array.empty[String])
+    val cents = readSidecar(spark, path, "_centroids.jsonl").getOrElse(
+      throw new IllegalArgumentException(
+        s"loadIvfIndex: missing $path/_centroids.jsonl (index not written by saveIvfIndex?)"))
+      .split("\n")
       .filter(_.nonEmpty)
       .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
     new IvfIndex(spark.read.parquet(path), cents)
