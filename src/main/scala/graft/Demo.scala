@@ -21,13 +21,18 @@ import graft.ir._
  *        runMain graft.Demo --batch <sfDir> <indexDir> <query...>
  *          (scores ALL queries in ONE Spark job — drives
  *           Searcher.searchBatch end-to-end)
+ *        runMain graft.Demo --delete <sfDir> <indexDir> <query...>
+ *          (build, tombstone-delete half the first query's matches, query
+ *           again, then compact and query the folded index — drives
+ *           IndexStore.delete end-to-end)
  */
 object Demo {
   def main(args: Array[String]): Unit = {
     val compactMode = args.headOption.contains("--compact")
     val appendMode = args.headOption.contains("--append") || compactMode
     val batchMode = args.headOption.contains("--batch")
-    val rest = if (appendMode || batchMode) args.drop(1) else args
+    val deleteMode = args.headOption.contains("--delete")
+    val rest = if (appendMode || batchMode || deleteMode) args.drop(1) else args
     val sfDir = if (rest.length > 0) rest(0) else "/root/testdata/sf0.001"
     val indexDir = if (rest.length > 1) rest(1) else "/tmp/graft-demo-index"
     val queries = if (rest.length > 2) rest.drop(2).toSeq
@@ -76,6 +81,26 @@ object Demo {
       } else IndexStore.buildAndSave(spark, turns, indexDir, cfg)
     println(s"[demo] index: docs=${view.meta.docs} terms=${view.meta.terms} " +
       s"postings=${view.meta.postings} blocks=${view.meta.blocks} avgdl=${view.meta.avgdl}")
+
+    if (deleteMode) {
+      val q = queries.head
+      val s0 = new Searcher(view)
+      val before = s0.search(spark, q, 1000000, Or, Bm25).collect()
+      val victims = before.map(_.getString(1)).sorted.take(math.max(1, before.length / 2))
+      println(s"[demo] '$q' matches ${before.length} docs; tombstoning ${victims.length}")
+      val n = IndexStore.delete(spark, victims.toSeq, indexDir)
+      val after = new Searcher(IndexStore.load(spark, indexDir))
+        .search(spark, q, 1000000, Or, Bm25).collect()
+      println(s"[demo] deleted=$n; '$q' now matches ${after.length} " +
+        s"(survivors keep exact scores until compact)")
+      val dst = s"$indexDir-compacted"
+      val folded = IndexStore.compact(spark, indexDir, dst)
+      val fin = new Searcher(folded).search(spark, q, 5, Or, Bm25).collect()
+      println(s"[demo] compacted to $dst: docs=${folded.meta.docs}; top hits after fold:")
+      fin.foreach(r => println(f"    ${r.getString(1)}  ${r.getDouble(2)}%.6f"))
+      spark.stop()
+      return
+    }
 
     val searcher = new Searcher(view.pin()) // serving mode: hot tables cached
     if (batchMode) {

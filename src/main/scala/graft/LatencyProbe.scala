@@ -71,6 +71,33 @@ object LatencyProbe {
       f"wand p50=${pct(wand, 0.5)}%.3f p95=${pct(wand, 0.95)}%.3f | " +
       f"and p50=${pct(and, 0.5)}%.3f p95=${pct(and, 0.95)}%.3f | " +
       f"batch13 sec=$batch%.3f qps=${botQueries.length / batch}%.1f")
+
+    // ---- concurrent clients through ONE QueryService (r3 verdict #6) ----
+    // the reference bot runs multi-threaded clients (InitClient.java:123-155);
+    // the service holds no lock across Spark jobs, so M clients overlap
+    // their jobs' scheduling gaps. Cache off: every call runs a real job.
+    {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val svc = new QueryService(view, cacheCapacity = 0)
+      botQueries.take(2).foreach(q => svc.search(spark, q, 10)) // warm
+      def pass(): Unit = botQueries.foreach(q => svc.search(spark, q, 10))
+      val serialSec = (1 to 2).map(_ => t(pass())).min
+      val clients = sys.env.getOrElse("SPARK_GRAFT_CLIENTS", "4").toInt
+      val pool = Executors.newFixedThreadPool(clients)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def concurrentSec(): Double =
+        t(Await.result(
+          Future.sequence((1 to clients).map(_ => Future(pass()))), 10.minutes))
+      val concSec = (1 to 2).map(_ => concurrentSec()).min
+      pool.shutdown()
+      val qps1 = botQueries.length / serialSec
+      val qpsM = clients * botQueries.length / concSec
+      println(f"[latency] concurrency clients=$clients " +
+        f"serial qps=$qps1%.2f concurrent qps=$qpsM%.2f " +
+        f"speedup=${qpsM / qps1}%.2fx")
+    }
     spark.stop()
   }
 }

@@ -52,29 +52,43 @@ object StreamScale {
     // measures the parity mode for comparison
     val cfg = BuildConfig(buckets = 4,
       cosineNorms = sys.env.get("SPARK_GRAFT_COSINE").contains("1"))
+    // micro-batch coalescing (r3 verdict #8): spill closed convs per
+    // trigger, run the staged append once per ~threshold turns. 0 =
+    // append-every-batch (the r3 behavior) for A/B comparison.
+    val coalesce = sys.env.get("SPARK_GRAFT_COALESCE").map(_.toLong)
+      .getOrElse(math.max(1L, totalTurns / 3))
 
     val src = MemoryStream[Turn]
     val t0 = System.nanoTime()
-    val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 30000L, ckpt, cfg)
+    val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 30000L, ckpt,
+      cfg, coalesceTurns = coalesce)
     try {
       waveTurns.foreach { wt =>
         src.addData(wt.toSeq)
         q.processAllAvailable()
       }
-      // sentinel far in the future closes the last wave; stays open itself
+      // sentinel conv far in the future closes the last wave; its own first
+      // session closes too once the second sentinel turn advances the
+      // watermark, so it lands in the index and the expectation below
+      // counts it (ADVICE r3)
       src.addData(Turn("zz_sentinel", 0, "user", "fin", null,
         new Timestamp(T0 + (waves + 100) * 60000L)))
       q.processAllAvailable()
       src.addData(Turn("zz_sentinel", 1, "user", "fin", null,
         new Timestamp(T0 + (waves + 101) * 60000L)))
       q.processAllAvailable()
+      // fold in whatever is still spilled (the stop-time flush a deployment
+      // would run at shutdown or next startup)
+      StreamingIndexer.flushStaged(spark, dir, cfg)
+      ()
     } finally q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
 
     val view = IndexStore.load(spark, dir, cfg)
+    val expect = nConvs + 1 // + the closed sentinel session
     println(f"[streamscale] convs=$nConvs waves=$waves turns=$totalTurns " +
-      f"wall=$wall%.2fs turns_per_sec=${totalTurns / wall}%.0f " +
-      f"indexed_docs=${view.meta.docs} (expect $nConvs)")
+      f"coalesce=$coalesce wall=$wall%.2fs turns_per_sec=${totalTurns / wall}%.0f " +
+      f"indexed_docs=${view.meta.docs} (expect $expect = $nConvs convs + sentinel)")
     spark.stop()
   }
 }

@@ -270,7 +270,61 @@ object Similarity {
    */
   final class IvfIndex private[ops] (
       val data: DataFrame, // (vec_id, embedding, cell) cell-clustered, persisted
-      val centroids: Array[Array[Double]]) {
+      val centroids: Array[Array[Double]],
+      /** Mean cosine of the training sample to its assigned centroid,
+        * 1e-6-quantized — the drift baseline for append-time retrain
+        * decisions. NaN on indexes loaded from a pre-drift sidecar. */
+      val trainMeanCos: Double = Double.NaN) {
+
+    /**
+     * Assign-only append (r3 verdict #7): new vectors route through the
+     * FROZEN trained centroids — no retrain pass, no touch of existing
+     * rows' assignments (queries over old vectors stay identical). The
+     * coarse quantizer only routes probes and the exact rerank happens
+     * inside the cell, so frozen centroids stay correct for any append;
+     * they only lose EFFICIENCY if the new data's distribution drifts —
+     * which [[assignDrift]] measures and [[needsRetrain]] thresholds.
+     */
+    def append(newVectors: DataFrame): IvfIndex = {
+      val cents = centroids
+      val assignUdf = udf((v: Seq[Float]) => bestCell(v, cents)._1)
+      val combined = data.unionByName(
+        newVectors.select(col("vec_id"), col("embedding"))
+          .withColumn("cell", assignUdf(col("embedding"))))
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      new IvfIndex(combined, centroids, trainMeanCos)
+    }
+
+    /** Mean cosine of `vectors` to their nearest frozen centroid — one agg
+      * pass, no driver collect of vectors. */
+    def meanAssignCos(vectors: DataFrame): Double = {
+      val cents = centroids
+      val cosUdf = udf((v: Seq[Float]) => {
+        val (_, dot) = bestCell(v, cents)
+        var s = 0.0
+        var d = 0
+        while (d < v.length) { s += v(d).toDouble * v(d); d += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) dot / n else 0.0
+      })
+      vectors.select(avg(cosUdf(col("embedding")))).head().getDouble(0)
+    }
+
+    /** Positive drift = the batch sits farther from the trained centroids
+      * than the training data did (mean cosine gap). */
+    def assignDrift(newVectors: DataFrame): Double =
+      if (trainMeanCos.isNaN) Double.NaN
+      else trainMeanCos - meanAssignCos(newVectors)
+
+    /** Retrain trigger: the appended batch's mean assignment cosine fell
+      * more than `tolerance` below the training baseline — cells no longer
+      * fit the data and probe candidate sets are inflating. */
+    def needsRetrain(newVectors: DataFrame, tolerance: Double = 0.05): Boolean = {
+      val d = assignDrift(newVectors)
+      !d.isNaN && d > tolerance
+    }
 
     private def nearestCells(q: Array[Float], nprobe: Int): Seq[Int] = {
       val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
@@ -322,6 +376,22 @@ object Similarity {
   }
 
   private def quantize(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Nearest centroid by raw dot (strict >, first max wins — the assignment
+    * rule everywhere: build, append, oracle). Returns (cell, dot). */
+  private[ops] def bestCell(v: Seq[Float], cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0
+    var bestDot = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * cs(c)(d); d += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    (best, bestDot)
+  }
 
   /** Training-sample row cap: ~16 rows per centroid is plenty for a COARSE
     * quantizer (it only routes probes; the exact rerank happens inside the
@@ -420,44 +490,47 @@ object Similarity {
       }
     }
 
-    // ONE full pass: assign every vector to its trained cell and cluster
+    // drift baseline: mean assignment cosine of the (normalized) training
+    // sample under the final centroids — one driver pass, same cost as one
+    // Lloyd iteration; quantized so it is parallelism-independent
     val finalCents = cents
-    val assignUdf = udf((v: Seq[Float]) => {
-      var best = 0; var bestDot = Double.MinValue
-      var c = 0
-      while (c < finalCents.length) {
-        var s = 0.0; var d = 0
-        while (d < v.length) { s += v(d) * finalCents(c)(d); d += 1 }
-        if (s > bestDot) { bestDot = s; best = c }
-        c += 1
-      }
-      best
-    })
+    val trainMeanCos = quantize(
+      sample.iterator.map(v => bestCell(v.map(_.toFloat).toSeq, finalCents)._2).sum
+        / math.max(1, sample.length))
+
+    // ONE full pass: assign every vector to its trained cell and cluster
+    val assignUdf = udf((v: Seq[Float]) => bestCell(v, finalCents)._1)
     val df = embeddings
       .withColumn("cell", assignUdf(col("embedding")))
       .repartition(col("cell"))
       .sortWithinPartitions("cell")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new IvfIndex(df, finalCents)
+    new IvfIndex(df, finalCents, trainMeanCos)
   }
 
   /** Durable IVF: vectors laid out `partitionBy(cell)` (probe = directory
     * pruning) with the trained centroids in a JSON-lines sidecar. */
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     idx.data.write.mode("overwrite").partitionBy("cell").parquet(path)
-    val lines = idx.centroids.map(_.mkString("[", ",", "]"))
+    val lines = idx.centroids.map(_.mkString("[", ",", "]")) ++
+      (if (idx.trainMeanCos.isNaN) Seq.empty
+       else Seq(s"meanCos\t${idx.trainMeanCos}"))
     writeSidecar(idx.data.sparkSession, path, "_centroids.jsonl",
       lines.mkString("", "\n", "\n"))
   }
 
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val cents = readSidecar(spark, path, "_centroids.jsonl").getOrElse(
+    val lines = readSidecar(spark, path, "_centroids.jsonl").getOrElse(
       throw new IllegalArgumentException(
         s"loadIvfIndex: missing $path/_centroids.jsonl (index not written by saveIvfIndex?)"))
       .split("\n")
       .filter(_.nonEmpty)
+    val cents = lines.filter(_.startsWith("["))
       .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
-    new IvfIndex(spark.read.parquet(path), cents)
+    val meanCos = lines.collectFirst {
+      case l if l.startsWith("meanCos\t") => l.stripPrefix("meanCos\t").toDouble
+    }.getOrElse(Double.NaN)
+    new IvfIndex(spark.read.parquet(path), cents, meanCos)
   }
 
   /** One-shot convenience over a transient index (SparkEntry/tests). For

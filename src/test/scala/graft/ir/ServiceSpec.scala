@@ -75,7 +75,46 @@ class ServiceSpec extends SparkSpec {
     val rows = spark.read.parquet(dir)
     assert(rows.count() == 4)
     assert(rows.schema.fieldNames.toSet ==
-      Set("query", "n_terms", "matches", "millis", "cached", "mode", "scorer"))
+      Set("query", "n_terms", "matches", "millis", "cached", "mode", "scorer", "batch_n"))
+  }
+
+  test("metrics attribute batch wall time once, tagged with batch size") {
+    val svc = new QueryService(view)
+    svc.search(spark, "pais libre")
+    svc.searchBatch(spark, Seq("a" -> "pais libre", "b" -> "tecnologia"))
+    val m = svc.queryMetrics(spark).collect()
+    assert(m.filter(_.getAs[String]("mode") != "BatchOr")
+      .forall(_.getAs[Int]("batch_n") == 1))
+    val batchRows = m.filter(_.getAs[String]("mode") == "BatchOr")
+    assert(batchRows.length == 2 && batchRows.forall(_.getAs[Int]("batch_n") == 2))
+    // the shared wall rides on every batch row UNchanged (no fake averaging)
+    assert(batchRows.map(_.getAs[Long]("millis")).distinct.length == 1)
+  }
+
+  test("concurrent clients through one service: correct, uncorrupted, unserialized") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val svc = new QueryService(view, cacheCapacity = 0) // no cache: every call runs a job
+    val queries = Seq("pais libre", "tecnologia", "estado", "pais", "software pais")
+    val serial = queries.map(q =>
+      q -> svc.search(spark, q).map(r => (r.getLong(0), r.getDouble(2))).toSeq).toMap
+    val pool = Executors.newFixedThreadPool(5)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = (0 until 20).map { i =>
+        Future {
+          val q = queries(i % queries.length)
+          q -> svc.search(spark, q).map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        }
+      }
+      val res = Await.result(Future.sequence(futs), 5.minutes)
+      res.foreach { case (q, rows) =>
+        assert(rows == serial(q), s"concurrent result drift for '$q'")
+      }
+    } finally pool.shutdown()
+    // every call logged exactly one metric row (buffer not corrupted by races)
+    assert(svc.queryMetrics(spark).count() == (queries.length + 20).toLong)
   }
 
   test("T3: pagination tiles the full ranking without overlap") {

@@ -131,4 +131,61 @@ class StreamingSpec extends SparkSpec {
     val bd = batch.termDict.collect().map(t => (t.term, t.df, t.cf)).toSet
     assert(sd == bd)
   }
+
+  test("coalesced mode spills cheap per trigger, appends once at threshold/flush") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = graft.SparkSpec.tmpDir("stream-co")
+    val ckpt = graft.SparkSpec.tmpDir("stream-co-ckpt")
+    val cfg = BuildConfig(buckets = 2)
+    val allTurns = Fixtures.tp2.zipWithIndex.flatMap { case ((conv, terms), ci) =>
+      terms.zipWithIndex.map { case (t, i) => turn(conv, i, t, sec(ci * 60L + i * 2L)) }
+    }
+    val src = MemoryStream[Turn]
+    // threshold far above the corpus: every trigger spills, nothing appends
+    val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 60000L, ckpt,
+      cfg, coalesceTurns = 1000000L)
+    try {
+      src.addData(allTurns: _*)
+      q.processAllAvailable()
+      src.addData(turn("sentinel", 0, "tick", sec(50000)))
+      q.processAllAvailable()
+      src.addData(turn("sentinel", 1, "tick", sec(50001)))
+      q.processAllAvailable()
+      // conversations closed and are DURABLE (spilled), but no index yet —
+      // the expensive staged append has not run once
+      assert(IndexStore.readConfig(dir).isEmpty, "append ran below the threshold")
+      // fold the backlog in one append
+      val folded = StreamingIndexer.flushStaged(spark, dir, cfg)
+      assert(folded > 0L)
+      // flush is idempotent once drained
+      assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 0L)
+    } finally q.stop()
+
+    val streamed = IndexStore.load(spark, dir)
+    // 4 tp2 convs; the lone sentinel conv never closes (the watermark stays
+    // gap-behind its own latest turn, and nothing arrives after it)
+    assert(streamed.meta.docs == 4)
+
+    // equality with the per-batch (coalesce=0) pipeline on the same input
+    val dir2 = graft.SparkSpec.tmpDir("stream-co-ref")
+    val ckpt2 = graft.SparkSpec.tmpDir("stream-co-ref-ckpt")
+    val src2 = MemoryStream[Turn]
+    val q2 = StreamingIndexer.indexStream(src2.toDS(), dir2, gapMs = 60000L, ckpt2, cfg)
+    try {
+      src2.addData(allTurns: _*)
+      q2.processAllAvailable()
+      src2.addData(turn("sentinel", 0, "tick", sec(50000)))
+      q2.processAllAvailable()
+      src2.addData(turn("sentinel", 1, "tick", sec(50001)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ref = IndexStore.load(spark, dir2)
+    val sd = streamed.termDict.collect().map(t => (t.term, t.df, t.cf)).toSet
+    assert(sd == ref.termDict.collect().map(t => (t.term, t.df, t.cf)).toSet)
+    def scores(v: IndexView): Map[String, Double] =
+      new Searcher(v).search(spark, "software pais", 100, Or, Bm25)
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(scores(streamed) == scores(ref))
+  }
 }
