@@ -97,9 +97,53 @@ object Analyzer extends Serializable {
   }
 
   /** Normalize + whitespace-tokenize (reference `tokenize`): accent strip,
-    * lowercase, remove punctuation + weird chars, split on whitespace runs. */
+    * lowercase, remove punctuation + weird chars, split on whitespace runs.
+    *
+    * Pure-ASCII input takes a single-pass zero-copy path: NFKD is the
+    * identity on ASCII, lowercasing is `+32`, the weird-char set is entirely
+    * non-ASCII, and `\s` is the 6 ASCII whitespace chars — so the fast path
+    * is semantics-identical (AnalyzerSpec asserts equality against the
+    * general path on ASCII inputs). The win is allocation, not just cycles:
+    * the general path materializes 4 intermediate strings per line, and in
+    * the index build this UDF dominates the tf stage — allocation here is
+    * shared-heap GC pressure that directly caps thread-scaling efficiency. */
   def tokenize(line: String): Array[String] = {
     if (line == null) return Array.empty
+    var i = 0
+    var ascii = true
+    while (ascii && i < line.length) {
+      if (line.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) tokenizeAscii(line) else tokenizeGeneral(line)
+  }
+
+  /** ASCII chars the normalizer deletes (the removeSet restricted to 7-bit). */
+  private val asciiRemove: Array[Boolean] =
+    Array.tabulate(128)(c => removeSet.contains(c.toChar))
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // exactly Java regex \s
+
+  private def tokenizeAscii(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      if (isAsciiSpace(c0)) {
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else {
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if (!asciiRemove(c)) sb.append(c)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  private[ir] def tokenizeGeneral(line: String): Array[String] = {
     val stripped = stripAccents(line).toLowerCase
     val sb = new java.lang.StringBuilder(stripped.length)
     var i = 0

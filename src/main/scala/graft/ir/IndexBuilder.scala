@@ -189,11 +189,7 @@ object IndexBuilder {
       df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val spark = df.sparkSession
-    val parts = math.max(1,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val withMono = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mono", monotonically_increasing_id())
+    val withMono = sortedWithMono(df, order)
     val rdd = GraftBridge.toInternalRdd(withMono)
     val counts: Array[Long] = spark.sparkContext.runJob(
       rdd,
@@ -202,14 +198,51 @@ object IndexBuilder {
         while (it.hasNext) { it.next(); n += 1 }
         n
       })
-    val offsets: Map[Long, Long] = counts.indices
-      .map(p => p.toLong -> counts.take(p).sum).toMap
     GraftBridge.internalCreateDataFrame(spark, rdd, withMono.schema)
-      .withColumn(idName,
-        element_at(typedLit(offsets), shiftrightunsigned(col("__mono"), 33)) +
-          col("__mono").bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn(idName, denseIdExpr(
+        counts.indices.map(p => p.toLong -> counts.take(p).sum).toMap))
       .drop("__mono")
   }
+
+  /**
+   * The in-memory build's variant: the sorted+mono stage is PERSISTED, the
+   * per-partition counts come from one cheap aggregation over the cache
+   * (which doubles as the cache's materialization — so upstream lineage is
+   * scanned exactly ONCE, where the unstaged variant needs a count pass and
+   * a consumer pass), and the total row count rides back to the caller,
+   * eliminating the separate `.count()` action every caller was issuing.
+   * Build-time actions (each a scheduling barrier that caps thread-scaling
+   * efficiency) drop from 4 per id-assignment to 1. The returned frame is a
+   * cheap projection over the cache — callers must NOT persist it again;
+   * the cache lives as long as the derived index does (same lifetime the
+   * previous caller-side persists had).
+   */
+  private[graft] def zipWithDenseIdCounted(
+      df: DataFrame, order: Seq[Column], idName: String): (DataFrame, Long) = {
+    val staged = sortedWithMono(df, order)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = staged
+      .groupBy(shiftrightunsigned(col("__mono"), 33).as("__pid"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // pids of empty partitions are absent; prefix-sum over the present ones
+    val (offsets, total) = counts.foldLeft((Map.empty[Long, Long], 0L)) {
+      case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)
+    }
+    (staged.withColumn(idName, denseIdExpr(offsets)).drop("__mono"), total)
+  }
+
+  private def sortedWithMono(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val parts = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mono", monotonically_increasing_id())
+  }
+
+  private def denseIdExpr(offsets: Map[Long, Long]): Column =
+    element_at(typedLit(offsets), shiftrightunsigned(col("__mono"), 33)) +
+      col("__mono").bitwiseAND(lit((1L << 33) - 1))
 
   /** Broadcast a dimension table while it fits, shuffle-join past it. */
   private[graft] def dim(df: DataFrame, rows: Long): DataFrame =
@@ -279,12 +312,13 @@ object IndexBuilder {
   def build(spark: SparkSession, turns: DataFrame, cfg: BuildConfig = BuildConfig()): IndexView = {
     import spark.implicits._
 
-    // doc_map: dense docId over distinct conv_id — sorts only the key column
-    val docMap = zipWithDenseId(
+    // doc_map: dense docId over distinct conv_id — sorts only the key
+    // column. The counted/staged id assignment materializes its cache in
+    // the SAME action that returns nDocs (no separate count), and the
+    // projection below reads from that cache — no second persist.
+    val (docMapRaw, nDocs) = zipWithDenseIdCounted(
       turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
-      .select("doc_id", "conv_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docMap.count()
+    val docMap = docMapRaw.select("doc_id", "conv_id")
 
     // A1: per-doc term frequency — the shared tf stage (dimension tables
     // broadcast while they fit; past the guard Catalyst falls back to a
@@ -294,19 +328,20 @@ object IndexBuilder {
 
     // A2: vocabulary with df/cf; deterministic term_id = rank by (df desc,
     // term asc) — frequent terms get small ids (a consistent scheme is all
-    // rank-identity needs, SURVEY.md §1.2)
+    // rank-identity needs, SURVEY.md §1.2). Staged/counted like doc_map:
+    // this one action also materializes the tf cache (the dict aggregation
+    // is tf's first consumer), and idf columns are cheap projections over
+    // the staged cache for every later consumer.
     val termAgg = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    val termDict = zipWithDenseId(
+    val (dictRaw, nTerms) = zipWithDenseIdCounted(
       termAgg, Seq(col("df").desc, col("term").asc), "term_id")
+    val termDict = dictRaw
       .withColumn("idf", log10(lit(nDocs.toDouble) / col("df")))
       .withColumn("bm25_idf",
         log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .select("term_id", "term", "df", "cf", "idf", "bm25_idf")
       .as[TermStat]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nTerms = termDict.count()
 
     // A3 + A7 in one pass: norm = sqrt(sum((tf*idf)^2)) / max_tf, exploiting
     // that max_tf is constant per doc so it factors out of the sum.

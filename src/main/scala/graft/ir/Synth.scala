@@ -47,7 +47,16 @@ object Synth {
     "estado" -> "Estado.", "tecnologia" -> "tecnología")
 
   def turns(spark: SparkSession, nConvs: Int, seed: Long = 42L): DataFrame = {
-    val parts = math.max(1, math.min(256, nConvs / 500))
+    // partition count: ≥500 convs per partition, capped at 4× the session's
+    // parallelism. The old fixed cap of 256 partitions meant a bench-scale
+    // corpus was ALWAYS 256 scan tasks — at local-cluster RPC latency
+    // (~10 ms/task dispatch) that is ~2.5 s of pure scheduling per
+    // full-scan stage, a fixed cost that crushed the 16-core pair's
+    // measured efficiency. A real corpus read from parquet gets size-based
+    // splits; this mirrors that. Row CONTENT is partitioning-independent
+    // (counter PRNG on indices), so any parts choice yields the same table.
+    val parts = math.max(1, math.min(nConvs / 500,
+      4 * spark.sparkContext.defaultParallelism))
     val rows = spark.sparkContext
       .parallelize(0 until nConvs, parts)
       .flatMap { ci =>
