@@ -65,6 +65,24 @@ object LatencyProbe {
     val bq = botQueries.zipWithIndex.map { case (q, i) => (s"q$i", q) }
     searcher.searchBatch(spark, bq, 10).count() // warm
     val batch = (1 to 4).map(_ => t(searcher.searchBatch(spark, bq, 10).count())).min
+    if (sys.env.contains("SPARK_GRAFT_BATCH_DIAG")) {
+      // A/B the batch pruning: forced-off vs forced-on, plus the candidate
+      // volume the cutover sees and the surviving block fraction
+      val sumDf = bq.flatMap(q => searcher.queryTerms(spark, q._2)).map(_.df).sum
+      val live = bq.map { case (qid, text) => qid -> searcher.queryTerms(spark, text) }
+        .filter(_._2.nonEmpty)
+      val nAll = view.postings.filter(org.apache.spark.sql.functions.col("term_id")
+        .isin(live.flatMap(_._2.map(_.termId)).distinct: _*)).count()
+      val nSurv = searcher.batchSurvivorBlocks(spark, live, 10, 0L)
+        .map(_.count()).getOrElse(nAll)
+      val off = (1 to 3).map(_ =>
+        t(searcher.searchBatch(spark, bq, 10, Bm25, Long.MaxValue).count())).min
+      val on = (1 to 3).map(_ =>
+        t(searcher.searchBatch(spark, bq, 10, Bm25, 0L).count())).min
+      println(f"[latency] batch-diag sum_df=$sumDf blocks=$nAll surv=$nSurv " +
+        f"(${100.0 * nSurv / math.max(1, nAll)}%.1f%%) " +
+        f"unpruned=$off%.3f s pruned=$on%.3f s")
+    }
     println(f"[latency] cpus=$cpus convs=$nConvs parts=$serveParts " +
       f"aqe=${spark.conf.get("spark.sql.adaptive.enabled")} " +
       f"exact p50=${pct(exact, 0.5)}%.3f p95=${pct(exact, 0.95)}%.3f | " +

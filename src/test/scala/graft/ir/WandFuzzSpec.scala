@@ -76,8 +76,12 @@ class WandFuzzSpec extends SparkSpec {
         }
         s"q$qi" -> terms.mkString(" ")
       }
-      for (scorer <- Seq[Scorer](Bm25, TfIdfCosine)) {
-        val got = searcher.searchBatch(spark, batch, 10, scorer)
+      // cutovers: the production default (unpruned at this corpus size) AND
+      // exactCutover = 0, which forces the per-query block-max pruning of
+      // the shared decode — both must equal single-query serving exactly
+      for (scorer <- Seq[Scorer](Bm25, TfIdfCosine);
+           cutover <- if (scorer == Bm25) Seq(Long.MaxValue, 0L) else Seq(Long.MaxValue)) {
+        val got = searcher.searchBatch(spark, batch, 10, scorer, cutover)
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
           .groupBy(_._1)
@@ -86,9 +90,10 @@ class WandFuzzSpec extends SparkSpec {
             .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
           val rows = got.getOrElse(qid, Array.empty).sortBy(_._4)
           assert(rows.map(_._2).toSeq == single.map(_._1),
-            s"batch $bi $scorer '$text': doc order")
+            s"batch $bi $scorer cutover=$cutover '$text': doc order")
           rows.map(_._3).zip(single.map(_._2)).foreach { case (g, w) =>
-            assert(math.abs(g - w) < 1e-9, s"batch $bi $scorer '$text': score")
+            assert(math.abs(g - w) < 1e-9,
+              s"batch $bi $scorer cutover=$cutover '$text': score")
           }
         }
       }
