@@ -21,9 +21,14 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
     val waves = sys.env.getOrElse("SPARK_GRAFT_WAVES", "5").toInt
+    // state-store partitions: each micro-batch checkpoints EVERY state
+    // partition (HDFS-backed store), so per-batch fixed cost is linear in
+    // this — 64 measured 78 s where 16 measured 31 s on the same input;
+    // size it to open-conversation count, not to core count
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "16").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -67,28 +72,34 @@ object StreamScale {
         src.addData(wt.toSeq)
         q.processAllAvailable()
       }
-      // sentinel conv far in the future closes the last wave; its own first
-      // session closes too once the second sentinel turn advances the
-      // watermark, so it lands in the index and the expectation below
-      // counts it (ADVICE r3)
+      // sentinel conv far in the future: its turn-0 watermark closes the
+      // last wave; the sentinel conversation ITSELF stays open (its own
+      // turn 1 arrives before any later watermark passes its deadline and
+      // extends the session), so the expectation below is exactly nConvs
+      // (ADVICE r3: the probe's sanity check must match the semantics)
       src.addData(Turn("zz_sentinel", 0, "user", "fin", null,
         new Timestamp(T0 + (waves + 100) * 60000L)))
       q.processAllAvailable()
       src.addData(Turn("zz_sentinel", 1, "user", "fin", null,
         new Timestamp(T0 + (waves + 101) * 60000L)))
       q.processAllAvailable()
-      // fold in whatever is still spilled (the stop-time flush a deployment
-      // would run at shutdown or next startup)
-      StreamingIndexer.flushStaged(spark, dir, cfg)
-      ()
     } finally q.stop()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val sessionizeSec = (System.nanoTime() - t0) / 1e9
+    // fold in whatever is still spilled (the stop-time flush a deployment
+    // would run at shutdown or next startup) — timed separately: it is the
+    // one-time index-build cost, not the stream's steady-state rate
+    val tF = System.nanoTime()
+    StreamingIndexer.flushStaged(spark, dir, cfg)
+    val flushSec = (System.nanoTime() - tF) / 1e9
+    val wall = sessionizeSec + flushSec
 
     val view = IndexStore.load(spark, dir, cfg)
-    val expect = nConvs + 1 // + the closed sentinel session
     println(f"[streamscale] convs=$nConvs waves=$waves turns=$totalTurns " +
-      f"coalesce=$coalesce wall=$wall%.2fs turns_per_sec=${totalTurns / wall}%.0f " +
-      f"indexed_docs=${view.meta.docs} (expect $expect = $nConvs convs + sentinel)")
+      f"coalesce=$coalesce wall=$wall%.2fs " +
+      f"(sessionize+spill=$sessionizeSec%.2fs flush=$flushSec%.2fs) " +
+      f"turns_per_sec=${totalTurns / wall}%.0f " +
+      f"steady_turns_per_sec=${totalTurns / sessionizeSec}%.0f " +
+      f"indexed_docs=${view.meta.docs} (expect $nConvs; sentinel stays open)")
     spark.stop()
   }
 }
