@@ -79,6 +79,21 @@ class PlanContractSpec extends SparkSpec {
       s"WAND path re-grew a lambda stage:\n$plan")
   }
 
+  test("batch plan: no window sort, native decode, winners-broadcast resolution") {
+    val df = new Searcher(view).searchBatch(spark,
+      Seq("a" -> "pais libre", "b" -> "tecnologia estado", "c" -> "software"), 10)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+    // the r3 shape's per-query row_number window (full match-list sort) must
+    // stay dead: top-k comes from the bounded heap aggregate
+    assert(!plan.contains("Window"), s"batch path re-grew a window sort:\n$plan")
+    assert(plan.contains("Generate decodeblock"),
+      s"batch decode is not the native generator:\n$plan")
+    // conv_ids resolve by broadcasting the tiny winners side — the stats
+    // table must not be exchanged for it
+    assert(plan.contains("BroadcastHashJoin"), s"winners join not broadcast:\n$plan")
+  }
+
   test("search plan: exactly one wide exchange (the per-doc score agg)") {
     val plan = servingPlan("pais libre software", Bm25)
     val exchanges = plan.linesIterator.count(l =>
