@@ -144,7 +144,12 @@ object Analyzer extends Serializable {
   }
 
   private[ir] def tokenizeGeneral(line: String): Array[String] = {
-    val stripped = stripAccents(line).toLowerCase
+    // Locale.ROOT, not the JVM default (ADVICE r4): under a tr/az default
+    // locale toLowerCase("TITLE") is "tıtle", which would diverge from the
+    // ASCII fast path's '+32' lowering WITHIN one corpus (a line's path
+    // depends on whether it happens to contain a non-ASCII char) and break
+    // the analyzer's index/query rank-identity contract
+    val stripped = stripAccents(line).toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(stripped.length)
     var i = 0
     while (i < stripped.length) {

@@ -40,14 +40,21 @@ final case class BuildConfig(
     else math.max(4096L, nDocs / math.max(1, 4 * shufflePartitions))
 }
 
-/** In-memory view of the five index tables (SURVEY.md §1.2). */
+/** In-memory view of the five index tables (SURVEY.md §1.2).
+  *
+  * `buildCaches` (ADVICE r4): the in-memory build persists intermediate
+  * frames (the staged dense-id sorts, the compact tf table) whose public
+  * tables are mere PROJECTIONS over them — `termDict.unpersist()` cannot
+  * release a cache it is not sameResult with, so the actual cached plans
+  * ride here for `unpin()` to free. Empty for store-loaded views. */
 final case class IndexView(
     termDict: Dataset[TermStat],
     postings: Dataset[Block],
     docStats: Dataset[DocStat],
     docMap: DataFrame, // (doc_id, conv_id)
     meta: IndexMeta,
-    cfg: BuildConfig) {
+    cfg: BuildConfig,
+    buildCaches: Seq[DataFrame] = Nil) {
 
   /** S12 analog (serving tier): the reference bulk-loads the whole index
     * into GPU memory once (GpuServerHandler.java:178-284); here the hot
@@ -84,6 +91,7 @@ final case class IndexView(
 
   def unpin(): IndexView = {
     termDict.unpersist(); postings.unpersist(); docStats.unpersist()
+    buildCaches.foreach(_.unpersist())
     this
   }
 
@@ -217,8 +225,11 @@ object IndexBuilder {
    * the cache lives as long as the derived index does (same lifetime the
    * previous caller-side persists had).
    */
+  /** Also returns the PERSISTED staged frame (3rd element) so callers can
+    * release the cache — the public result is a projection over it, whose
+    * unpersist() would not reach the cached plan (ADVICE r4). */
   private[graft] def zipWithDenseIdCounted(
-      df: DataFrame, order: Seq[Column], idName: String): (DataFrame, Long) = {
+      df: DataFrame, order: Seq[Column], idName: String): (DataFrame, Long, DataFrame) = {
     val staged = sortedWithMono(df, order)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = staged
@@ -229,7 +240,7 @@ object IndexBuilder {
     val (offsets, total) = counts.foldLeft((Map.empty[Long, Long], 0L)) {
       case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)
     }
-    (staged.withColumn(idName, denseIdExpr(offsets)).drop("__mono"), total)
+    (staged.withColumn(idName, denseIdExpr(offsets)).drop("__mono"), total, staged)
   }
 
   private def sortedWithMono(df: DataFrame, order: Seq[Column]): DataFrame = {
@@ -316,7 +327,7 @@ object IndexBuilder {
     // column. The counted/staged id assignment materializes its cache in
     // the SAME action that returns nDocs (no separate count), and the
     // projection below reads from that cache — no second persist.
-    val (docMapRaw, nDocs) = zipWithDenseIdCounted(
+    val (docMapRaw, nDocs, docMapStaged) = zipWithDenseIdCounted(
       turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
     val docMap = docMapRaw.select("doc_id", "conv_id")
 
@@ -334,7 +345,7 @@ object IndexBuilder {
     // the staged cache for every later consumer.
     val termAgg = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    val (dictRaw, nTerms) = zipWithDenseIdCounted(
+    val (dictRaw, nTerms, dictStaged) = zipWithDenseIdCounted(
       termAgg, Seq(col("df").desc, col("term").asc), "term_id")
     val termDict = dictRaw
       .withColumn("idf", log10(lit(nDocs.toDouble) / col("df")))
@@ -403,7 +414,15 @@ object IndexBuilder {
       postings = nPostings,
       blocks = postings.count())
 
-    IndexView(termDict, postings, docStats, docMap, meta, cfg)
+    IndexView(termDict, postings, docStats, docMap, meta, cfg,
+      // the ACTUAL cached plans behind the projected public tables (+ the
+      // compact tf cache, which nothing public exposes) — unpin() releases
+      // these; without them each build in a long-lived JVM leaks a set of
+      // MEMORY_AND_DISK caches (ADVICE r4). docStats/postings ride along
+      // too: pin() replaces both with re-laid-out caches on the COPY, so
+      // after pin().unpin() the build-level persists would otherwise be
+      // unreachable (unpersist is idempotent when unpin runs unpinned).
+      buildCaches = Seq(docMapStaged, dictStaged, tf, docStats.toDF(), postings.toDF()))
   }
 
   /**

@@ -154,7 +154,14 @@ class QueryService(
     * the in-memory buffer (it would otherwise grow for the life of the
     * server); `queryMetrics` shows the unflushed tail. Returns rows
     * flushed. */
-  def flushMetrics(spark: SparkSession, path: String): Long = {
+  /** Serializes flushMetrics against itself (ADVICE r4: two concurrent
+    * flushes would double-write the overlapping snapshot prefix, and the
+    * second remove(0, n) would drop never-flushed rows appended after its
+    * snapshot). Separate from metricsLock so search() never blocks on a
+    * flush's parquet write. */
+  private val flushLock = new Object
+
+  def flushMetrics(spark: SparkSession, path: String): Long = flushLock.synchronized {
     // snapshot under the lock, write OUTSIDE it, then drop exactly the
     // flushed prefix — a failed write loses nothing, and rows logged by
     // concurrent queries during the write survive to the next flush

@@ -2,7 +2,6 @@ package graft.ir
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 sealed trait QueryMode
 case object Or extends QueryMode  // disjunctive union-accumulate (reference serving path)
@@ -87,19 +86,24 @@ class Searcher(index: IndexView) extends Serializable {
     * (agg row width stays bounded). */
   private[graft] val ScoreColumnsMaxTerms: Int = 16
 
-  /** BM25 accumulation grid: every per-term contribution is quantized to
-    * decimal(30,15) and summed in EXACT decimal arithmetic. Decimal addition
-    * is associative and commutative, so the single-query fixed-order fold,
-    * the long-query array fold and the batch path's hash-aggregate `sum`
-    * all produce the IDENTICAL score for the same postings in ANY execution
-    * order — bit-stable run to run (a plain double sum drifts at ulp level
-    * with shuffle arrival order) and bit-equal batch vs single
-    * (RankIdentitySpec). Scale 15 keeps the binary Add within precision 38
-    * (30+30 → 31, cast back lossless: contributions are < 10^6), and the
-    * 1e-15 quantum is ~1e-17 relative on BM25 scores — invisible at the
-    * oracle's 1e-6 rounding. */
-  private val Dec = DecimalType(30, 15)
-  private def decZero: Column = lit(java.math.BigDecimal.ZERO).cast(Dec)
+  /** BM25 accumulation grid: every per-term contribution is quantized to a
+    * scaled-long fixed point at the 1e-15 grid and summed in exact 64-bit
+    * integer arithmetic. Long addition is associative and commutative, so
+    * the single-query fixed-order fold, the long-query array fold and the
+    * batch path's hash-aggregate `sum` all produce the IDENTICAL score for
+    * the same postings in ANY execution order — bit-stable run to run (a
+    * plain double sum drifts at ulp level with shuffle arrival order) and
+    * bit-equal batch vs single (RankIdentitySpec). This replaces the r4
+    * decimal(30,15) grid — same determinism contract, but the accumulation
+    * stays a primitive-long codegen HashAggregate instead of an object-path
+    * Decimal add (the source of the r4 ~30% serving-latency regression,
+    * VERDICT r4 #1). The 1e-15 quantum is ~1e-17 relative on BM25 scores
+    * (invisible at the oracle's 1e-6 rounding); capacity is |score| ≤
+    * 2^63/1e15 ≈ 9.2e3, far above any BM25 total (idf25 ≤ ln N + 1). */
+  private[graft] val ScoreScale: Double = 1e15
+  /** floor(x·1e15 + ½) as a codegen long — the one shared quantizer; batch
+    * and single-query paths MUST route every contribution through it. */
+  private def qfix(c: Column): Column = floor(c * ScoreScale + lit(0.5))
 
   /**
    * J4 block-skip for AND queries — the Spark form of the reference's √df
@@ -233,17 +237,17 @@ class Searcher(index: IndexView) extends Serializable {
         }
         val sat = qts.map { q =>
           val tf = col(s"tf_${q.termId}")
-          when(tf.isNull, decZero).otherwise(
-            (lit(q.qb) * (tf * (k1 + 1)) /
-              (tf + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))).cast(Dec))
-        }.reduce((a, c) => (a + c).cast(Dec))
+          when(tf.isNull, lit(0L)).otherwise(
+            qfix(lit(q.qb) * (tf * (k1 + 1)) /
+              (tf + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+        }.reduce(_ + _)
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
-          .withColumn("score", sat.cast("double"))
+          .withColumn("score", sat.cast("double") / ScoreScale)
       case Bm25 =>
-        // long-query fallback: per-doc contribution list folded in exact
-        // decimal — order-independent by construction (see Dec), so no sort
-        // is needed before the fold
+        // long-query fallback: per-doc contribution list folded on the
+        // fixed-point grid — order-independent by construction (see
+        // ScoreScale), so no sort is needed before the fold
         val perDoc = decoded
           .withColumn("qb", element_at(qbMap, col("term_id")))
           .groupBy("doc_id")
@@ -256,11 +260,10 @@ class Searcher(index: IndexView) extends Serializable {
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
           .withColumn("score",
-            aggregate(col("contribs"), decZero, (acc, c) =>
-              (acc + (c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
-                (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
-                .cast(Dec)).cast(Dec))
-              .cast("double"))
+            aggregate(col("contribs"), lit(0L), (acc, c) =>
+              acc + qfix(c.getField("qb") * (c.getField("tf") * (k1 + 1)) /
+                (c.getField("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
+              .cast("double") / ScoreScale)
     }
 
     scored0
@@ -296,7 +299,31 @@ class Searcher(index: IndexView) extends Serializable {
     * 1.34 s vs pruned 1.63 s with 0% blocks cut (homogeneous corpus =
     * flat score distributions = powerless bounds). The pruned path is the
     * 10^9-posting regime's tool, exactly like the single-query cutover. */
+  /** Below this many total candidate postings the WAND θ phase costs more
+    * than the decode it prunes, so the query serves through the exact
+    * single-job path (identical results either way — θ = 0 is sound).
+    * Break-even arithmetic: the θ job is ~0.2 s of fixed scheduling/
+    * broadcast cost; decode+score runs ~5–10M postings/s on this box, and
+    * pruning saves at most the decoded fraction — so below a few million
+    * candidate postings pruning cannot pay for its own job. Measured: at
+    * 600k postings/query the pruned path is ~1.4× SLOWER than exact; block
+    * skipping is the 10^9+-postings regime's tool (where it is the only
+    * viable path), not a small-index win.
+    * (Declared BEFORE BatchExactCutover: a same-class forward val reference
+    * silently initializes to 0 — which made the r4 batch cutover 0, running
+    * the batch θ job on EVERY batch, part of the j1_batch_topk regression.) */
+  val WandExactCutover: Long = 1L << 22
+
   val BatchExactCutover: Long = 4L * WandExactCutover
+
+  /** Below this many candidate (query, term) posting fan-out rows the batch
+    * path skips the full-parallelism respread of the shared decode (VERDICT
+    * r4 #5): the exchange bought the 13-query 3.9× win (5.9M fan-out rows
+    * were serializing into the serving cache's ~15 partitions) but costs
+    * more than it saves on a small batch. ≈2M rows ≈ the work of one
+    * serving-sized partition (IndexView.servingPartitions), i.e. respread
+    * once the batch carries more than a couple of tasks' worth of scoring. */
+  val BatchRespreadCutover: Long = 1L << 21
 
   def searchBatch(
       spark: SparkSession,
@@ -363,37 +390,44 @@ class Searcher(index: IndexView) extends Serializable {
         // doc_len joins the DECODED postings once (guarded broadcast —
         // 1 probe per posting, not per (query, posting) pair), the
         // per-posting BM25 term is a codegen expression, and the
-        // per-(query, doc) accumulation is a plain hash-aggregate `sum` over
-        // exact decimal — order-independent, so it is bit-equal to the
-        // single-query path's fixed-order fold (see Dec). This replaces the
-        // r3 collect_list/ObjectHashAggregate + post-agg stats join shape,
-        // which paid a per-group list materialization and a second join
-        // (r3 verdict #5: batch amortization was ~12%). Agg rows carry only
-        // (int, long, decimal) — conv_ids resolve on the k·|queries| result.
+        // per-(query, doc) accumulation is a plain hash-aggregate `sum` of
+        // fixed-point longs — order-independent, so it is bit-equal to the
+        // single-query path's fixed-order fold (see ScoreScale). This
+        // replaces the r3 collect_list/ObjectHashAggregate + post-agg stats
+        // join shape, which paid a per-group list materialization and a
+        // second join (r3 verdict #5: batch amortization was ~12%). Agg rows
+        // carry only (int, long, long) — conv_ids resolve on the
+        // k·|queries| result.
         val dl = index.docStats.select("doc_id", "doc_len")
         val dlDim =
           if (index.meta.docs <= IndexBuilder.BroadcastRowLimit) broadcast(dl) else dl
         // the serving layout deliberately keeps FEW partitions (single-query
-        // fixed cost ~ tasks/stage), but a batch's fan-out work is
+        // fixed cost ~ tasks/stage), but a LARGE batch's fan-out work is
         // throughput-bound — respread the decoded postings across the full
         // parallelism so the joins + per-posting scoring don't serialize
         // into the cache's handful of partitions (measured: 13-query batch
-        // 4.4 s → ~3.2 s on 32 cores). One cheap exchange of narrow
-        // (term_id, doc_id, tf) rows buys it.
+        // 4.4 s → ~1.5 s on 32 cores). ADAPTIVE (VERDICT r4 #5): the extra
+        // exchange is pure overhead on a small batch (j1_batch_topk
+        // 0.91 → 2.06 s in BENCH_r04), so it runs only when the batch's
+        // candidate (query, term) posting fan-out — the row count the
+        // scoring join actually produces — clears BatchRespreadCutover.
         val batchParts = math.max(
           2 * spark.sparkContext.defaultParallelism,
           math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
-        decoded
-          .repartition(batchParts, col("doc_id"))
+        val fanout = live.flatMap(_._2).map(_.df).sum
+        val spread =
+          if (fanout >= BatchRespreadCutover)
+            decoded.repartition(batchParts, col("doc_id"))
+          else decoded
+        spread
           .join(dlDim, "doc_id")
           .join(qTerms, "term_id")
           .withColumn("c",
-            (col("w") * (col("tf") * (k1 + 1)) /
-              (col("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len"))))
-              .cast(Dec))
+            qfix(col("w") * (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
           .groupBy("qidx", "doc_id")
-          .agg(sum(col("c")).as("sdec"))
-          .withColumn("score", col("sdec").cast("double"))
+          .agg(sum(col("c")).as("sfix"))
+          .withColumn("score", col("sfix").cast("double") / ScoreScale)
     }
 
     // bounded per-query top-k heap aggregate instead of a row_number window:
@@ -429,8 +463,8 @@ class Searcher(index: IndexView) extends Serializable {
    *     highest-impact term t*_q — all t* terms' top-k blocks decode in a
    *     single job (≤ |queries|·k·BlockSize rows collected), and
    *     θ_q = (k-th largest exact t*-only contribution) − 1e-9 (the margin
-   *     absorbs the decimal accumulation grid's ≤1e-15 quantization, so θ
-   *     stays a sound lower bound on q's k-th best total).
+   *     absorbs the fixed-point accumulation grid's ≤1e-15 quantization, so
+   *     θ stays a sound lower bound on q's k-th best total).
    *  2. A block b of term t survives iff SOME query wants it:
    *     ∃ q∋t: qtf·bound_t(b) + Σ_{t'≠t} qtf·gmax(t') ≥ θ_q
    *     ⇔ bound_t(b) ≥ min_{q∋t} (θ_q − sumGmax_q + qtf·gmax_t)/qtf —
@@ -546,18 +580,6 @@ class Searcher(index: IndexView) extends Serializable {
    * scores ≤ the bound; appended batches change idf25/avgdl without
    * invalidating stored blocks.
    */
-  /** Below this many total candidate postings the WAND θ phase costs more
-    * than the decode it prunes, so the query serves through the exact
-    * single-job path (identical results either way — θ = 0 is sound).
-    * Break-even arithmetic: the θ job is ~0.2 s of fixed scheduling/
-    * broadcast cost; decode+score runs ~5–10M postings/s on this box, and
-    * pruning saves at most the decoded fraction — so below a few million
-    * candidate postings pruning cannot pay for its own job. Measured: at
-    * 600k postings/query the pruned path is ~1.4× SLOWER than exact; block
-    * skipping is the 10^9+-postings regime's tool (where it is the only
-    * viable path), not a small-index win. */
-  val WandExactCutover: Long = 1L << 22
-
   def searchBm25Wand(
       spark: SparkSession,
       query: String,
@@ -628,7 +650,11 @@ class Searcher(index: IndexView) extends Serializable {
           .limit(k)
           .select("c")
           .collect()
-        if (cs.length < k) 0.0 else cs.last.getDouble(0)
+        // the same 1e-9 margin the batch path subtracts: scores accumulate
+        // on the 1e-15 fixed-point grid (ScoreScale), so a doc's quantized
+        // total can land an ulp below its exact sum — the margin keeps θ a
+        // sound lower bound under quantization (ADVICE r4)
+        if (cs.length < k) 0.0 else math.max(0.0, cs.last.getDouble(0) - 1e-9)
       }
     }
 

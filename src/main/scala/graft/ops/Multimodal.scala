@@ -98,12 +98,19 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     require(w > 0 && h > 0, "imageio: empty raster")
+    // one bulk getRGB per row (VERDICT r4 #6): the per-pixel getRGB(x, y)
+    // call pays a colorspace-conversion dispatch per pixel — the bulk form
+    // converts a whole scanline at once (5–10× on large JPEGs). Row-at-a-
+    // time, not whole-image, so a 100-MP outlier costs one scanline of
+    // int[] instead of 400 MB.
     val hist = new Array[Int](FeatureDim)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
           114 * (rgb & 0xFF)) / 1000
         hist(lum * FeatureDim / 256) += 1
@@ -116,9 +123,10 @@ object Multimodal {
     val rgbOut = new Array[Byte](side * side * 3)
     y = 0
     while (y < side) {
+      img.getRGB(0, y * h / side, w, 1, row, 0, w)
       var x = 0
       while (x < side) {
-        val rgb = img.getRGB(x * w / side, y * h / side)
+        val rgb = row(x * w / side)
         val o = 3 * (y * side + x)
         rgbOut(o) = ((rgb >> 16) & 0xFF).toByte
         rgbOut(o + 1) = ((rgb >> 8) & 0xFF).toByte
