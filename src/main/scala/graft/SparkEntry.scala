@@ -122,6 +122,10 @@ object SparkEntry {
     "j1_batch_topk" -> ((s, dir) => // one job scores all three queries
       Pipelines.searchBatchOrig(s, dir, BatchQ, 10)),
 
+    // ---- X21 tombstone deletes, end-to-end (build→dedup→delete→search) ----
+    "x21_delete_search" -> ((s, dir) =>
+      Pipelines.searchDeleted(s, dir, Pipelines.FixedQuery, 10)),
+
     // ---- dedup ----
     "dd_exact" -> ((s, dir) =>
       Dedup.exact(Pipelines.documents(s, dir)).orderBy("h")),
@@ -294,6 +298,25 @@ object SparkEntry {
     // WAND is pruning-only (sound bounds): its top-k equals exact BM25, so
     // it shares the same DuckDB oracle (plus WandFuzzSpec equality fuzzing)
     "wand_topk" -> bm25TopkSql,
+
+    // tombstone semantics: deleted docs vanish from results immediately,
+    // while df/idf/avgdl stay as BUILT until compact — so the oracle scores
+    // with FULL-corpus statistics and restricts the ranking to survivors
+    // (exact-dedup keepers minus the doc_id % 7 == 3 slice, mirroring
+    // Pipelines.deletedIndex's victim set)
+    "x21_delete_search" -> (P + s""",
+      |avgdl AS (SELECT avg(doc_len) AS a FROM stats),
+      |b25 AS (SELECT t.doc_id,
+      |  sum(ln((nn.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2)
+      |      / (t.tf + 1.2 * (0.25 + 0.75 * s.doc_len / avgdl.a))) AS score
+      |  FROM tf t JOIN dict d USING (term) JOIN stats s USING (doc_id), nn, avgdl
+      |  WHERE t.term IN $qIn GROUP BY 1),
+      |surv AS (SELECT doc_id FROM (
+      |    SELECT d.doc_id, min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper
+      |    FROM documents d)
+      |  WHERE doc_id = keeper AND doc_id % 7 <> 3)
+      |SELECT doc_id, round(score, 6) AS score FROM b25 JOIN surv USING (doc_id)
+      |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
 
     "j1_batch_topk" -> (P + s""",
       |avgdl AS (SELECT avg(doc_len) AS a FROM stats),

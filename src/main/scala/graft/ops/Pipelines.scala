@@ -84,6 +84,39 @@ object Pipelines {
   private def origId(c: org.apache.spark.sql.Column) =
     substring(c, 2, 18).cast("long")
 
+  private val delMemo = new ConcurrentHashMap[String, IndexView]()
+
+  /** The X21 tombstone-delete pipeline end-to-end (once per sfDir per JVM):
+    * staged build to a store → victims = `Dedup.exact` non-keepers ∪ a
+    * deterministic slice (doc_id % 7 == 3, so deletion bites even on a
+    * dup-free corpus) → `IndexStore.delete` → serving view loaded with the
+    * tombstones applied. Deleted docs vanish from every result immediately;
+    * corpus stats (df/idf/avgdl) stay as built until compact — exactly what
+    * the x21 oracle models (full-corpus BM25 restricted to survivors). */
+  def deletedIndex(spark: SparkSession, sfDir: String): IndexView =
+    delMemo.computeIfAbsent(sfDir, dir => {
+      val store = java.nio.file.Files.createTempDirectory("graft-x21-idx").toString
+      IndexStore.buildAndSave(spark, transcripts(spark, dir), store, Cfg)
+      val docs = documents(spark, dir)
+      val nonKeepers = docs
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(Dedup.exact(docs).select("h", "keeper"), "h")
+        .filter(col("doc_id") =!= col("keeper"))
+        .select("doc_id")
+      val victims = nonKeepers
+        .union(docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+        .select(format_string("d%012d", col("doc_id")).as("conv_id"))
+      IndexStore.delete(spark, victims, store)
+      IndexStore.load(spark, store)
+    })
+
+  /** X21 driver query: BM25 top-k over the tombstoned index, original ids. */
+  def searchDeleted(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+    new Searcher(deletedIndex(spark, sfDir)).search(spark, query, k, Or, Bm25)
+      .select(origId(col("conv_id")).as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+
   /** doc_id joinable view of doc_stats with original ids. */
   def docStatsOrig(spark: SparkSession, sfDir: String): DataFrame =
     index(spark, sfDir).docStats.toDF()

@@ -239,12 +239,13 @@ class AppendSpec extends SparkSpec {
     val dir2 = graft.SparkSpec.tmpDir("app-res2")
     IndexStore.buildAndSave(spark, b1, dir2, BuildConfig(buckets = 4))
     IndexStore.append(spark, b2, dir2)
-    val manifest = Paths.get(dir2, "_manifest.tsv")
-    val keep = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala.filter { l =>
+    // truncate via StoreIO so the local Hadoop FS .crc stays consistent
+    val manifest = s"$dir2/_manifest.tsv"
+    val keep = StoreIO.readLines(manifest).filter { l =>
       val stage = l.split("\t")(0)
       !stage.startsWith("b1:") || Set("b1:begin", "b1:doc_map", "b1:tf").contains(stage)
     }
-    Files.write(manifest, keep.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    StoreIO.writeString(manifest, keep.mkString("", "\n", "\n"))
     def rm(p: String): Unit = {
       val d = Paths.get(p)
       if (Files.exists(d)) Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)

@@ -49,12 +49,15 @@ class DeterminismResumeSpec extends SparkSpec {
     // simulate a build killed after doc_stats: keep early stages, drop the rest
     val dirPart = graft.SparkSpec.tmpDir("idx-part")
     IndexStore.buildAndSave(spark, turns, dirPart, BuildConfig(buckets = 4))
-    val manifest = Paths.get(dirPart, "_manifest.tsv")
+    // the truncation goes through StoreIO (the store's own FS layer): the
+    // local Hadoop FS checksums small files, so a raw java.nio rewrite
+    // would leave a stale .crc and poison the next manifest read
+    val manifest = s"$dirPart/_manifest.tsv"
     val keepStages = Set("begin", "doc_map", "tf", "term_dict", "doc_stats",
       "posting_rows", "postings:bucket=0", "postings:bucket=1")
-    val kept = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
+    val kept = StoreIO.readLines(manifest)
       .filter(l => keepStages.contains(l.split("\t")(0)))
-    Files.write(manifest, kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    StoreIO.writeString(manifest, kept.mkString("", "\n", "\n"))
     // wipe the outputs of the "unfinished" stages
     def rm(p: String): Unit = {
       val d = Paths.get(p)

@@ -188,4 +188,32 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
     assert(scores(streamed) == scores(ref))
   }
+
+  test("flushStaged resumes a pinned (crashed) flush with its original input set") {
+    import spark.implicits._
+    val dir = graft.SparkSpec.tmpDir("stream-pin")
+    val stage = s"$dir/_stream_stage"
+    val cfg = BuildConfig(buckets = 2)
+    def writeTurns(name: String, ts: Seq[Turn]): Unit =
+      ts.toDF().write.mode("overwrite").parquet(s"$stage/$name")
+    // a crashed flush left epoch-0 staged AND pinned in _pending.tsv
+    writeTurns("turns-e0-2.parquet",
+      Seq(turn("cA", 0, "alpha beta", sec(0)), turn("cA", 1, "gamma", sec(5))))
+    Seq("cA").toDF("conv_id").write.mode("overwrite")
+      .parquet(s"$stage/closed-e0-1.parquet")
+    StoreIO.writeString(s"$stage/_pending.tsv",
+      "closed-e0-1.parquet\nturns-e0-2.parquet\n")
+    // epoch 1 landed after the crash, before the resume — it must NOT be
+    // consumed by the resumed flush (the append begin-signature contract)
+    writeTurns("turns-e1-1.parquet", Seq(turn("cB", 0, "delta", sec(60))))
+    Seq("cB").toDF("conv_id").write.mode("overwrite")
+      .parquet(s"$stage/closed-e1-1.parquet")
+
+    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 2L, "pinned set only")
+    assert(IndexStore.load(spark, dir).meta.docs == 1)
+    // the post-crash epoch survives intact and folds on the NEXT flush
+    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 1L)
+    assert(IndexStore.load(spark, dir).meta.docs == 2)
+    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 0L)
+  }
 }
