@@ -590,6 +590,20 @@ class Searcher(index: IndexView) extends Serializable {
     if (qts.isEmpty) return spark.emptyDataset[Hit].toDF()
     if (qts.map(_.df).sum <= exactCutover)
       return scoreTerms(spark, qts, k, Or, Bm25, None)
+    val (_, survivors) = wandPlan(spark, qts, k)
+    // decode via the native generator (same helper as the exact path) —
+    // postings stay in Tungsten; the survivors path is exactly the 10^9+-
+    // postings regime where a per-block object round-trip costs most
+    scoreTerms(spark, qts, k, Or, Bm25, Some(decodeBlocks(survivors)))
+  }
+
+  /** The WAND pruning decision for an analyzed term set: (candidate block
+    * set, surviving block set). Shared by [[searchBm25Wand]] and the
+    * pruning diagnostics (graft.WandSkew / Bench's wand_prune section),
+    * so what the probe counts IS what serving decodes. */
+  private[graft] def wandPlan(
+      spark: SparkSession, qts: Seq[QueryTerm], k: Int): (Dataset[Block], Dataset[Block]) = {
+    import spark.implicits._
     val termIds = qts.map(_.termId)
 
     val bk1 = cfg.k1; val bb = cfg.b
@@ -621,40 +635,69 @@ class Searcher(index: IndexView) extends Serializable {
     }
 
     val tStar = qts.maxBy(q => q.qtf * gmax.getOrElse(q.termId, 0.0))
-    // θ = k-th largest EXACT t*-only contribution among ≥ k real docs (each
-    // doc's total ≥ its t* contribution, so θ lower-bounds the k-th best
-    // total). r1 decoded t*'s ENTIRE posting list for this (VERDICT #5);
-    // now only its k most promising blocks by block-max bound — each block
-    // carries ≥ 1 posting, so k blocks yield ≥ k exact contributions, and a
-    // k-th-largest over a subset is still a sound (≤) lower bound.
+    // θ = k-th largest EXACT FULL score among the docs living in t*'s k most
+    // promising blocks. The r1–r4 θ used t*-ONLY contributions — sound, but
+    // structurally powerless on multi-term queries: the prune condition
+    // compares θ against bound_t(b) + Σ_{t'≠t} gmax(t'), and a θ capped at
+    // one term's contribution can never exceed the other terms' global
+    // maxima, so nothing pruned unless one term dominated (measured 0% even
+    // on the score-skewed fixture). Scoring the candidate docs FULLY costs
+    // one more tiny decode — other terms' blocks overlapping t*'s top-block
+    // docId intervals (any doc inside the intervals has ALL its postings in
+    // overlapping blocks, so its computed score is complete; docs straddling
+    // the edges score partially, which only lowers θ) — and the resulting
+    // θ is a set of real documents' true scores, so its k-th largest lower-
+    // bounds the true k-th best total: pruning stays exact (WandFuzzSpec)
+    // and now bites whenever score mass is block-clustered (WandSkew).
     val theta: Double = {
-      // fewer than k docs carry t* → θ would not be a sound k-th-total lower
-      // bound (the final top-k may need docs below it) → disable pruning
+      // fewer than k docs carry t* → the candidate set may be < k docs →
+      // θ would not be a sound k-th-total lower bound → disable pruning
       if (tStar.df < k) 0.0
       else {
-        // ONE tiny job: top-k blocks of t* → decode (≤ k·BlockSize rows) →
-        // broadcast-join doc_len onto the tiny side → k-th largest exact
-        // contribution. AQE broadcasts the decoded side (a limit result).
-        val topBlocks = index.postings
+        // job 1 (metadata-only): the k most promising t* blocks' intervals
+        val intervals = index.postings
           .filter(col("term_id") === tStar.termId)
           .withColumn("bound", blockBound)
           .orderBy(col("bound").desc)
           .limit(k)
-          .drop("bound")
-          .as[Block]
-        val cs = index.docStats.select(col("doc_id"), col("doc_len"))
-          .join(broadcast(decodeBlocks(topBlocks)), "doc_id")
-          .withColumn("c", lit(tStar.qb) * (col("tf") * (bk1 + 1)) /
-            (col("tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("doc_len"))))
-          .orderBy(col("c").desc)
-          .limit(k)
-          .select("c")
-          .collect()
-        // the same 1e-9 margin the batch path subtracts: scores accumulate
-        // on the 1e-15 fixed-point grid (ScoreScale), so a doc's quantized
-        // total can land an ulp below its exact sum — the margin keeps θ a
-        // sound lower bound under quantization (ADVICE r4)
-        if (cs.length < k) 0.0 else math.max(0.0, cs.last.getDouble(0) - 1e-9)
+          .select("first_doc_id", "last_doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        if (intervals.isEmpty) 0.0
+        else {
+          val starts = intervals.map(_._1)
+          val ends = intervals.map(_._2)
+          val overlaps = udf((first: Long, last: Long) => {
+            var lo = 0
+            var hi = starts.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (starts(m) <= last) lo = m + 1 else hi = m
+            }
+            lo > 0 && ends(lo - 1) >= first
+          })
+          // job 2: decode every query term's overlapping blocks (≤ |q|·k
+          // blocks), broadcast the tiny decoded side into the stats probe,
+          // and take the k-th largest exact per-doc total
+          val qbLit = typedLit(qts.map(q => q.termId -> q.qb).toMap)
+          val cand = index.postings
+            .filter(col("term_id").isin(termIds: _*))
+            .filter(overlaps(col("first_doc_id"), col("last_doc_id")))
+            .as[Block]
+          val cs = index.docStats.select(col("doc_id"), col("doc_len"))
+            .join(broadcast(decodeBlocks(cand)), "doc_id")
+            .withColumn("c", element_at(qbLit, col("term_id")) * (col("tf") * (bk1 + 1)) /
+              (col("tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("doc_len"))))
+            .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+            .orderBy(col("s").desc)
+            .limit(k)
+            .select("s")
+            .collect()
+          // the same 1e-9 margin the batch path subtracts: scores accumulate
+          // on the 1e-15 fixed-point grid (ScoreScale), so a doc's quantized
+          // total can land an ulp below its exact sum — the margin keeps θ a
+          // sound lower bound under quantization (ADVICE r4)
+          if (cs.length < k) 0.0 else math.max(0.0, cs.last.getDouble(0) - 1e-9)
+        }
       }
     }
 
@@ -663,14 +706,10 @@ class Searcher(index: IndexView) extends Serializable {
       q.termId -> (sumGmax - q.qtf * gmax.getOrElse(q.termId, 0.0))).toMap)
     val qtfLit = typedLit(qts.map(q => q.termId -> q.qtf.toDouble).toMap)
 
-    val survivors = index.postings
-      .filter(col("term_id").isin(termIds: _*))
+    val candidates = index.postings.filter(col("term_id").isin(termIds: _*))
+    val survivors = candidates
       .filter(element_at(qtfLit, col("term_id")) * blockBound +
         element_at(gmaxLit, col("term_id")) >= theta)
-
-    // decode via the native generator (same helper as the exact path) —
-    // postings stay in Tungsten; the survivors path is exactly the 10^9+-
-    // postings regime where a per-block object round-trip costs most
-    scoreTerms(spark, qts, k, Or, Bm25, Some(decodeBlocks(survivors)))
+    (candidates, survivors)
   }
 }

@@ -82,4 +82,55 @@ object Synth {
       }
     spark.createDataFrame(rows)
   }
+
+  /**
+   * Score-skewed fixture for block-max pruning (VERDICT r4 #8): the
+   * homogeneous `turns` corpus yields flat score distributions, so WAND's
+   * per-block bounds never separate and measured pruning is 0%. Here the
+   * first `1/hotDenom` of conversations are "hot" — short documents that
+   * repeat the query-grade HotVocab terms with tf 8–31 — and the rest are
+   * "cold": long documents carrying each hot term ONCE amid Zipf-tail
+   * filler, i.e. BM25 contributions near zero (tf 1, large dl). Because
+   * docIds are ranks of conv_id and hot convs sort first, hot postings
+   * cluster into a small docId range whose blocks carry dominant max_tf /
+   * min_dl bounds, while the cold tail's blocks bound far below any θ —
+   * the shape a real corpus has when docId order correlates with source
+   * or quality tiers. On this corpus pruning must discard the cold tail's
+   * blocks and return results identical to the exact path (WandSkew
+   * probe + Bench's wand_prune section record the measured fraction).
+   */
+  def skewedTurns(
+      spark: SparkSession, nConvs: Int, seed: Long = 43L,
+      hotDenom: Int = 10): DataFrame = {
+    val parts = math.max(1, math.min(nConvs / 500,
+      4 * spark.sparkContext.defaultParallelism))
+    val hotN = math.max(1, nConvs / hotDenom)
+    val rows = spark.sparkContext
+      .parallelize(0 until nConvs, parts)
+      .map { ci =>
+        val conv = f"c$ci%08d"
+        val hot = ci < hotN
+        val toks: Seq[String] =
+          if (hot) {
+            // 3 hot terms at high tf in a short doc → large contributions
+            (0 until 3).flatMap { wi =>
+              val term = HotVocab((ci + wi) % HotVocab.length)
+              val tf = 8 + (rand(seed, ci, 0, 10L + wi) & 0x7FFFFFFF).toInt % 24
+              Seq.fill(tf)(term)
+            }
+          } else {
+            // every hot term once (so its posting list spans the whole
+            // corpus) drowned in Zipf-tail filler → near-zero contributions
+            val filler = (0 until 60 + (rand(seed, ci, 0, 20) & 0x7FFFFFFF).toInt % 120)
+              .map { wi =>
+                val u = (rand(seed, ci, 0, 100L + wi) >>> 11).toDouble / (1L << 53).toDouble
+                vocabTerm(HotVocab.length + zipfRank(u) % (vocabSize - HotVocab.length))
+              }
+            HotVocab ++ filler
+          }
+        Turn(conv, 0, "user", toks.mkString(" "), null,
+          new Timestamp(Epoch + (ci.toLong % 100000) * 1000))
+      }
+    spark.createDataFrame(rows)
+  }
 }
