@@ -459,12 +459,14 @@ class Searcher(index: IndexView) extends Serializable {
    * terms. This is the two-phase WAND of `searchBm25Wand` generalized to N
    * queries with ONE extra job:
    *
-   *  1. θ_q per query from the k most promising blocks of q's
-   *     highest-impact term t*_q — all t* terms' top-k blocks decode in a
-   *     single job (≤ |queries|·k·BlockSize rows collected), and
-   *     θ_q = (k-th largest exact t*-only contribution) − 1e-9 (the margin
-   *     absorbs the fixed-point accumulation grid's ≤1e-15 quantization, so
-   *     θ stays a sound lower bound on q's k-th best total).
+   *  1. θ_q per query = the k-th largest EXACT FULL q-score among the docs
+   *     living in t*_q's top-k blocks (same candidate-doc θ as the
+   *     single-query `wandPlan` — a t*-only θ can never clear the other
+   *     terms' global-max slack in the prune condition, so multi-term
+   *     batches pruned 0% with it). Computed in two tiny jobs detailed at
+   *     the implementation below; a −1e-9 margin absorbs the fixed-point
+   *     accumulation grid's ≤1e-15 quantization, so θ stays a sound lower
+   *     bound on q's k-th best total.
    *  2. A block b of term t survives iff SOME query wants it:
    *     ∃ q∋t: qtf·bound_t(b) + Σ_{t'≠t} qtf·gmax(t') ≥ θ_q
    *     ⇔ bound_t(b) ≥ min_{q∋t} (θ_q − sumGmax_q + qtf·gmax_t)/qtf —
@@ -511,10 +513,17 @@ class Searcher(index: IndexView) extends Serializable {
       (col("max_tf") * (bk1 + 1)) /
       (col("max_tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("min_dl")))
 
-    // the ONE θ job: all t* terms' top-k blocks → decode → doc_len join →
-    // exact per-posting term weight, grouped per term on the driver
+    // θ_q = k-th largest EXACT FULL q-score among the docs in the t* terms'
+    // top-k blocks — the same candidate-doc θ as the single-query wandPlan
+    // (a t*-only θ can never clear the other terms' global-max slack in the
+    // prune condition, so multi-term batches pruned 0%). Two tiny jobs:
+    // (1) metadata-only top-k block intervals per t* term; (2) decode every
+    // query term's blocks overlapping the merged intervals, score per
+    // (query, doc) via the broadcast (qid, term, weight) table, collect the
+    // k-th value per query. Partial scores at interval edges only LOWER θ,
+    // so soundness per query is unchanged.
     import spark.implicits._
-    val topBlocks = index.postings.toDF()
+    val intervals: Array[(Long, Long)] = index.postings.toDF()
       .filter(col("term_id").isin(starIds: _*))
       .withColumn("bound", blockBound)
       .withColumn("rn", row_number().over(
@@ -522,22 +531,48 @@ class Searcher(index: IndexView) extends Serializable {
           .partitionBy("term_id")
           .orderBy(col("bound").desc, col("first_doc_id").asc)))
       .filter(col("rn") <= k)
-      .drop("bound", "rn")
+      .select("first_doc_id", "last_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    if (intervals.isEmpty) return None
+    val merged = intervals.foldLeft(List.empty[(Long, Long)]) {
+      case ((s, e) :: acc, (f, l)) if f <= e => (s, math.max(e, l)) :: acc
+      case (acc, iv) => iv :: acc
+    }.reverse.toArray
+    val starts = merged.map(_._1)
+    val ends = merged.map(_._2)
+    val overlaps = udf((first: Long, last: Long) => {
+      var lo = 0
+      var hi = starts.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (starts(m) <= last) lo = m + 1 else hi = m
+      }
+      lo > 0 && ends(lo - 1) >= first
+    })
+    val qw = broadcast(infos.flatMap(i =>
+      i.ts.map(t => (i.qid, t.termId, t.qtf * t.bm25Idf)))
+      .toDF("qid", "term_id", "w"))
+    val candBlocks = index.postings
+      .filter(col("term_id").isin(allTerms.keys.toSeq: _*))
+      .filter(overlaps(col("first_doc_id"), col("last_doc_id")))
       .as[Block]
-    val contribs: Map[Long, Array[Double]] = index.docStats
+    val kth: Map[String, Double] = index.docStats
       .select(col("doc_id"), col("doc_len"))
-      .join(broadcast(decodeBlocks(topBlocks)), "doc_id")
-      .withColumn("c", element_at(idfLit, col("term_id")) * (col("tf") * (bk1 + 1)) /
+      .join(broadcast(decodeBlocks(candBlocks)), "doc_id")
+      .withColumn("cu", (col("tf") * (bk1 + 1)) /
         (col("tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("doc_len"))))
-      .select("term_id", "c").collect()
-      .groupBy(_.getLong(0))
-      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sortBy(x => -x) }
+      .join(qw, "term_id")
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("w") * col("cu")).as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("s").desc)))
+      .filter(col("rn") === k)
+      .select("qid", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
     val thetas: Map[String, Double] = infos.map { i =>
-      val qcs = contribs.getOrElse(i.tStar.termId, Array.empty[Double])
-        .map(_ * i.tStar.qtf)
-      i.qid -> (if (i.tStar.df < k || qcs.length < k) 0.0
-        else math.max(0.0, qcs(k - 1) - 1e-9))
+      i.qid -> (if (i.tStar.df < k) 0.0
+        else kth.get(i.qid).map(s => math.max(0.0, s - 1e-9)).getOrElse(0.0))
     }.toMap
     if (thetas.values.forall(_ <= 0.0)) return None
 
