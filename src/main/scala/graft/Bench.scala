@@ -221,6 +221,12 @@ object Bench {
       val built = IndexBuilder.build(spark, turns, BuildConfig())
       spark.conf.set("spark.sql.shuffle.partitions",
         IndexView.servingPartitions(built.meta, spark).toString)
+      // serving plans are small and fixed-shape: AQE's per-exchange stage
+      // materialization is pure per-query scheduling overhead here
+      // (measured: 13-query batch 1.59 -> 1.25 s, single-query a wash —
+      // LatencyProbe A/B, BENCH/BASELINE.md r5); builds/scaling pairs above
+      // keep AQE on (skew handling is load-bearing at build shuffles)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val v = built.pin()
       val _ = (v.meta, v.termLookup, v.wandTermBounds) // force lazy serving state
       v
@@ -291,8 +297,9 @@ object Bench {
         s""""exact_sec":${f"$ex%.3f"},"wand_sec":${f"$wd%.3f"},"identical":$same}"""
     }
 
-    // builds/appends below want build-sized partitioning again
+    // builds/appends below want build-sized partitioning + AQE again
     spark.conf.set("spark.sql.shuffle.partitions", (2 * servingCores).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // ---- incremental append vs full rebuild (staged/disk path) ----
     // 90/10 split by conv hash, BOTH maintenance modes, best-of-N (the r2
@@ -328,6 +335,11 @@ object Bench {
     val (appendTurns, cosineStat) = appendBench(cosineNorms = true)
     val (_, bm25Stat) = appendBench(cosineNorms = false)
 
+    // the sweep is dominated by fixed per-query cost at sf0.1 table sizes
+    // (5k docs): AQE's per-exchange materialization is overhead for every
+    // entry, serving and mini-build alike — same rationale as the latency
+    // section; the 2.6M-turn scaling pairs above keep it on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val opTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val (_, sec) = time {

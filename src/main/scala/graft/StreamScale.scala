@@ -29,7 +29,11 @@ object StreamScale {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE re-plans and re-materializes per exchange on EVERY micro-batch —
+      // pure fixed cost at streaming's small-batch sizes (the flush's big
+      // batch jobs run fine without it too); measured in BENCH/BASELINE.md r5
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

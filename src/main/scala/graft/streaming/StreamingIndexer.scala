@@ -166,13 +166,33 @@ object StreamingIndexer {
           // safely; per-dir serialization below keeps flushes single-file.
           // A crash mid-async-flush is the same crash the marker already
           // handles — the next flush resumes the pinned set.
-          if (stagedTurnCount(dir) >= coalesceTurns && flushIdle(dir)) {
+          if (backlog(dir).get() >= coalesceTurns && flushIdle(dir)) {
+            // reset at flush START: turns spilled while the flush runs (and
+            // the remainder it re-writes) count toward the NEXT threshold —
+            // the threshold is an amortization knob, not a correctness device
+            backlog(dir).set(0L)
             val spark = batch.sparkSession
             flushExec.submit(new Runnable {
-              override def run(): Unit =
-                try flushStaged(spark, dir, cfg)
-                catch { case scala.util.control.NonFatal(_) => () }
+              override def run(): Unit = {
+                // this thread inherited the STREAMING QUERY's job group/tags
+                // (InheritableThreadLocal at pool-thread creation, and cached
+                // threads keep them) — without clearing, q.stop() CANCELS the
+                // in-flight flush's Spark jobs mid-append (observed: the
+                // probe's shutdown left a pinned marker + a cancelled append)
+                spark.sparkContext.clearJobGroup()
+                spark.sparkContext.clearJobTags()
+                // a failed flush is RECOVERABLE (the pinned marker resumes it)
+                // but never silent: the stage backlog otherwise grows unseen
+                // until the next flush retries
+                try { flushOnce(spark, dir, cfg); () }
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    System.err.println(
+                      s"[graft-stream] async flush of $dir failed " +
+                        s"(pinned input resumes at next flush): $e")
+                }
                 finally { flushBusy.remove(dir); () }
+              }
             })
             ()
           }
@@ -194,16 +214,20 @@ object StreamingIndexer {
   private def stageDir(dir: String): String = s"$dir/_stream_stage"
   private def pendingMarker(dir: String): String = s"${stageDir(dir)}/_pending.tsv"
 
-  /** Spilled turn files: per-epoch arrivals plus flush-remainder rewrites.
-    * The row count rides in the name so backlog size needs no footer reads. */
-  private val TurnName = """^(?:turns-e\d+|rem-[0-9a-f]+)-(\d+)\.parquet$""".r
-  private val ClosedName = """^closed-e(\d+)-(\d+)\.parquet$""".r
+  /** Spilled turn files: per-epoch arrivals plus flush-remainder rewrites. */
+  private val TurnName = """^(?:turns-e\d+|rem-[0-9a-f]+)\.parquet$""".r
+  private val ClosedName = """^closed-e(\d+)\.parquet$""".r
 
   private def stagedNames(dir: String): Seq[String] =
     StoreIO.listNames(stageDir(dir)).sorted
 
-  private def stagedTurnCount(dir: String): Long =
-    stagedNames(dir).collect { case TurnName(n) => n.toLong }.sum
+  /** Turns spilled since the last flush START, per index root — the flush-
+    * threshold gauge. In-JVM only: after a restart it reads 0 and the
+    * documented startup `flushStaged` drain folds any pre-crash backlog. */
+  private val backlogs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def backlog(dir: String): java.util.concurrent.atomic.AtomicLong =
+    backlogs.computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
 
   /** One trigger's spill: arriving turns and closure markers land as two
     * epoch-keyed parquet files. Any prior file of the SAME epoch is removed
@@ -214,26 +238,26 @@ object StreamingIndexer {
   private def spillEpoch(batch: Dataset[StreamEvent], dir: String, epoch: Long): Unit = {
     val b = batch.persist()
     try {
-      val counts = b.groupBy("closed").count().collect()
-        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      val nTurns = counts.getOrElse(false, 0L)
-      val nClosed = counts.getOrElse(true, 0L)
       val stage = stageDir(dir)
-      def clearEpoch(prefix: String): Unit =
-        StoreIO.listNames(stage)
-          .filter(_.matches(s"^$prefix-e$epoch-\\d+\\.parquet$$"))
-          .foreach(n => StoreIO.delete(s"$stage/$n"))
-      if (nTurns > 0) {
-        clearEpoch("turns")
-        b.filter(!col("closed"))
-          .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-          .write.mode("overwrite").parquet(s"$stage/turns-e$epoch-$nTurns.parquet")
-      }
-      if (nClosed > 0) {
-        clearEpoch("closed")
-        b.filter(col("closed")).select("conv_id")
-          .write.mode("overwrite").parquet(s"$stage/closed-e$epoch-$nClosed.parquet")
-      }
+      // epoch-keyed names make replays overwrite-in-place (ADVICE r4): a
+      // replayed epoch rewrites the SAME file, so two versions of one epoch
+      // can never coexist. Counts ride in an Observation on the write itself
+      // (not a separate count job — per-trigger fixed cost is the streaming
+      // throughput floor, BENCH r5), feeding the in-JVM backlog gauge.
+      val obs = new org.apache.spark.sql.Observation(s"spill-e$epoch")
+      b.filter(!col("closed"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/turns-e$epoch.parquet")
+      val nTurns = obs.get("n").asInstanceOf[Long]
+      if (nTurns == 0L) StoreIO.delete(s"$stage/turns-e$epoch.parquet")
+      else { backlog(dir).addAndGet(nTurns); () }
+      val obsC = new org.apache.spark.sql.Observation(s"spill-closed-e$epoch")
+      b.filter(col("closed")).select("conv_id")
+        .observe(obsC, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/closed-e$epoch.parquet")
+      if (obsC.get("n").asInstanceOf[Long] == 0L)
+        StoreIO.delete(s"$stage/closed-e$epoch.parquet")
     } finally { b.unpersist(); () }
   }
 
@@ -261,7 +285,40 @@ object StreamingIndexer {
     // one flush per index root at a time, in THIS JVM (a direct call — e.g.
     // the shutdown drain — must not interleave with an in-flight async
     // flush; cross-process races are outside the store's single-writer
-    // contract, like the append manifest itself)
+    // contract, like the append manifest itself). DRAIN semantics: one
+    // locked pass folds one pinned-or-current file set; spills that landed
+    // after that set was pinned (or a stale crash-recovery marker's
+    // leftovers) need further passes, so loop until a pass folds nothing
+    // AND no closed markers remain staged — the shutdown/startup caller's
+    // contract is "everything closed is in the index when I return".
+    flushLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      var total = 0L
+      // every pass strictly consumes its input set (a resumed marker's
+      // files + marker, or the currently-staged files), so this terminates
+      // once the backlog present at each list time is folded; a still-live
+      // stream spilling concurrently just leaves its newest epoch for the
+      // next flush, exactly like the single-pass async path
+      var passes = 0
+      def pending = StoreIO.exists(pendingMarker(dir))
+      // only committed (_SUCCESS) files count: an uncommitted spill a crash
+      // left behind is not consumable by any pass and must not spin the loop
+      def closedStaged =
+        stagedNames(dir).exists(n => ClosedName.findFirstIn(n).isDefined &&
+          StoreIO.exists(s"${stageDir(dir)}/$n/_SUCCESS"))
+      while (passes == 0 || pending || closedStaged) {
+        total += flushStagedLocked(spark, dir, cfg)
+        passes += 1
+        if (passes >= 64) // defensive bound; unreachable post-stop
+          return total
+      }
+      total
+    }
+
+  /** Single locked pass (the async trigger path): folds ONE pinned-or-
+    * current file set and returns, preserving the coalescing economics —
+    * the drain loop above is the shutdown/startup contract. */
+  private def flushOnce(
+      spark: SparkSession, dir: String, cfg: BuildConfig): Long =
     flushLocks.computeIfAbsent(dir, _ => new Object).synchronized {
       flushStagedLocked(spark, dir, cfg)
     }
@@ -333,7 +390,7 @@ object StreamingIndexer {
     turnFiles.foreach(n => StoreIO.delete(s"$stage/$n"))
     closedFiles.foreach(n => StoreIO.delete(s"$stage/$n"))
     if (remCount > 0) {
-      val dst = s"$stage/rem-$flushId-$remCount.parquet"
+      val dst = s"$stage/rem-$flushId.parquet"
       StoreIO.delete(dst)
       val (f, src) = StoreIO.fs(tmpRem)
       require(f.rename(src, new org.apache.hadoop.fs.Path(dst)),

@@ -197,23 +197,26 @@ class StreamingSpec extends SparkSpec {
     def writeTurns(name: String, ts: Seq[Turn]): Unit =
       ts.toDF().write.mode("overwrite").parquet(s"$stage/$name")
     // a crashed flush left epoch-0 staged AND pinned in _pending.tsv
-    writeTurns("turns-e0-2.parquet",
+    writeTurns("turns-e0.parquet",
       Seq(turn("cA", 0, "alpha beta", sec(0)), turn("cA", 1, "gamma", sec(5))))
     Seq("cA").toDF("conv_id").write.mode("overwrite")
-      .parquet(s"$stage/closed-e0-1.parquet")
+      .parquet(s"$stage/closed-e0.parquet")
     StoreIO.writeString(s"$stage/_pending.tsv",
-      "closed-e0-1.parquet\nturns-e0-2.parquet\n")
-    // epoch 1 landed after the crash, before the resume — it must NOT be
-    // consumed by the resumed flush (the append begin-signature contract)
-    writeTurns("turns-e1-1.parquet", Seq(turn("cB", 0, "delta", sec(60))))
+      "closed-e0.parquet\nturns-e0.parquet\n")
+    // epoch 1 landed after the crash, before the resume — the resumed PASS
+    // must not widen its pinned input set (the append begin-signature
+    // contract); the public drain then folds epoch 1 as a SECOND append
+    writeTurns("turns-e1.parquet", Seq(turn("cB", 0, "delta", sec(60))))
     Seq("cB").toDF("conv_id").write.mode("overwrite")
-      .parquet(s"$stage/closed-e1-1.parquet")
+      .parquet(s"$stage/closed-e1.parquet")
 
-    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 2L, "pinned set only")
-    assert(IndexStore.load(spark, dir).meta.docs == 1)
-    // the post-crash epoch survives intact and folds on the NEXT flush
-    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 1L)
+    assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 3L, "drain folds all")
     assert(IndexStore.load(spark, dir).meta.docs == 2)
+    // two separate passes: pass 1 (pinned resume) created the base index,
+    // pass 2 folded epoch 1 as ONE append batch — a drain that wrongly
+    // widened the pinned set would have built everything in one base pass
+    assert(StoreIO.listNames(s"$dir/batches").size == 1,
+      "epoch 1 folded as its own append batch, not inside the pinned resume")
     assert(StreamingIndexer.flushStaged(spark, dir, cfg) == 0L)
   }
 }
