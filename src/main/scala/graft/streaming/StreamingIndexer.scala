@@ -355,10 +355,15 @@ object StreamingIndexer {
 
     def readAll(fs: Seq[String]): Option[DataFrame] =
       fs.map(n => spark.read.parquet(s"$stage/$n")).reduceOption(_ unionByName _)
+    // PERSISTED: the (conv_id, turn_idx) dedup is a shuffle, and every
+    // downstream action (semi-join count, each of the append's build
+    // stages, the anti-join remainder) would re-run it against the staged
+    // parquet otherwise — measured as the dominant flush fixed cost
     val turnsAll = readAll(turnFiles)
-      .map(_.dropDuplicates("conv_id", "turn_idx"))
-    val closedIds = readAll(closedFiles).map(_.distinct())
+      .map(_.dropDuplicates("conv_id", "turn_idx").persist())
+    val closedIds = readAll(closedFiles).map(_.distinct().persist())
 
+    try {
     val folded: Long = (turnsAll, closedIds) match {
       case (Some(t), Some(c)) =>
         val toAppend = t.join(c, Seq("conv_id"), "left_semi")
@@ -398,5 +403,9 @@ object StreamingIndexer {
     } else StoreIO.delete(tmpRem)
     StoreIO.delete(pendingMarker(dir))
     folded
+    } finally {
+      turnsAll.foreach(_.unpersist())
+      closedIds.foreach(_.unpersist())
+    }
   }
 }
