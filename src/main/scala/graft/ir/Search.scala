@@ -106,6 +106,48 @@ class Searcher(index: IndexView) extends Serializable {
   private def qfix(c: Column): Column = floor(c * ScoreScale + lit(0.5))
 
   /**
+   * The k most promising blocks' (first_doc_id, last_doc_id) intervals per
+   * term — the WAND θ phase's "where do the big scores live" metadata
+   * lookup, served from the view's driver-resident cache (VERDICT r5 #4:
+   * these are index-immutable between appends, so paying a Spark job per
+   * query for them was the θ path's residual cost). Blocks are ranked by
+   * the idf-free BM25 saturation bound (bm25_idf is a positive per-term
+   * constant, so the per-term ranking is identical to the full block bound)
+   * with a deterministic (bound desc, first_doc_id asc) tie-break; missing
+   * terms are computed in ONE metadata-only job. Returned arrays are sorted
+   * by first_doc_id.
+   */
+  private[graft] def topBlockIntervals(
+      termIds: Seq[Long], k: Int): Map[Long, Array[(Long, Long)]] = {
+    val cache = index.thetaIntervalCache
+    val missing = termIds.distinct.filterNot(t => cache.containsKey((t, k)))
+    if (missing.nonEmpty) {
+      val bk1 = cfg.k1; val bb = cfg.b
+      val bAvgdl = if (index.meta.avgdl > 0) index.meta.avgdl else 1.0
+      val satBound = (col("max_tf") * (bk1 + 1)) /
+        (col("max_tf") + lit(bk1) * (lit(1 - bb) + lit(bb / bAvgdl) * col("min_dl")))
+      val got: Map[Long, Array[(Long, Long)]] = index.postings.toDF()
+        .filter(col("term_id").isin(missing: _*))
+        .withColumn("bound", satBound)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("term_id")
+            .orderBy(col("bound").desc, col("first_doc_id").asc)))
+        .filter(col("rn") <= k)
+        .select("term_id", "first_doc_id", "last_doc_id")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (tid, rs) =>
+          tid -> rs.map(r => (r.getLong(1), r.getLong(2))).sorted
+        }
+      missing.foreach { t =>
+        cache.put((t, k), got.getOrElse(t, Array.empty[(Long, Long)])); ()
+      }
+    }
+    termIds.distinct.map(t => t -> cache.get((t, k))).toMap
+  }
+
+  /**
    * J4 block-skip for AND queries — the Spark form of the reference's √df
    * skip-pointer leapfrog (modulos/Postings.py:376-411): collect the rarest
    * term's block ranges (disjoint, docId-ascending: salt ranges are ordered
@@ -516,23 +558,17 @@ class Searcher(index: IndexView) extends Serializable {
     // θ_q = k-th largest EXACT FULL q-score among the docs in the t* terms'
     // top-k blocks — the same candidate-doc θ as the single-query wandPlan
     // (a t*-only θ can never clear the other terms' global-max slack in the
-    // prune condition, so multi-term batches pruned 0%). Two tiny jobs:
-    // (1) metadata-only top-k block intervals per t* term; (2) decode every
-    // query term's blocks overlapping the merged intervals, score per
-    // (query, doc) via the broadcast (qid, term, weight) table, collect the
-    // k-th value per query. Partial scores at interval edges only LOWER θ,
-    // so soundness per query is unchanged.
+    // prune condition, so multi-term batches pruned 0%). At most two tiny
+    // jobs: (1) metadata-only top-k block intervals per t* term, served
+    // from the view's (term, k) interval cache — zero jobs once the terms
+    // are warm (VERDICT r5 #4); (2) decode every query term's blocks
+    // overlapping the merged intervals, score per (query, doc) via the
+    // broadcast (qid, term, weight) table, collect the k-th value per
+    // query. Partial scores at interval edges only LOWER θ, so soundness
+    // per query is unchanged.
     import spark.implicits._
-    val intervals: Array[(Long, Long)] = index.postings.toDF()
-      .filter(col("term_id").isin(starIds: _*))
-      .withColumn("bound", blockBound)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("term_id")
-          .orderBy(col("bound").desc, col("first_doc_id").asc)))
-      .filter(col("rn") <= k)
-      .select("first_doc_id", "last_doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val intervals: Array[(Long, Long)] =
+      topBlockIntervals(starIds, k).values.flatten.toArray.sorted
     if (intervals.isEmpty) return None
     val merged = intervals.foldLeft(List.empty[(Long, Long)]) {
       case ((s, e) :: acc, (f, l)) if f <= e => (s, math.max(e, l)) :: acc
@@ -689,14 +725,10 @@ class Searcher(index: IndexView) extends Serializable {
       // θ would not be a sound k-th-total lower bound → disable pruning
       if (tStar.df < k) 0.0
       else {
-        // job 1 (metadata-only): the k most promising t* blocks' intervals
-        val intervals = index.postings
-          .filter(col("term_id") === tStar.termId)
-          .withColumn("bound", blockBound)
-          .orderBy(col("bound").desc)
-          .limit(k)
-          .select("first_doc_id", "last_doc_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        // the k most promising t* blocks' intervals — from the view's
+        // (term, k) cache; one metadata job on a cold term, zero warm
+        // (VERDICT r5 #4)
+        val intervals = topBlockIntervals(Seq(tStar.termId), k)(tStar.termId)
         if (intervals.isEmpty) 0.0
         else {
           val starts = intervals.map(_._1)

@@ -96,7 +96,10 @@ object Pipelines {
   def deletedIndex(spark: SparkSession, sfDir: String): IndexView =
     delMemo.computeIfAbsent(sfDir, dir => {
       val store = java.nio.file.Files.createTempDirectory("graft-x21-idx").toString
-      IndexStore.buildAndSave(spark, transcripts(spark, dir), store, Cfg)
+      // persist the ALREADY-memoized in-memory index (compact-style: text
+      // never re-read or re-tokenized — VERDICT r5 #7) instead of a second
+      // full buildAndSave over the transcripts
+      IndexStore.saveView(spark, index(spark, dir), store)
       val docs = documents(spark, dir)
       val nonKeepers = docs
         .select(col("doc_id"), md5(col("text")).as("h"))

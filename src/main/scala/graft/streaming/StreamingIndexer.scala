@@ -150,7 +150,13 @@ object StreamingIndexer {
           ()
         }
         .start()
-    else
+    else {
+      // a restart from the same checkpoint replays the last unacknowledged
+      // epoch, whose mode-overwrite rewrite of turns-e$epoch.parquet would
+      // race a still-running async flush that pinned that file (ADVICE r5)
+      // — wait out any in-flight flush for this dir before the query starts
+      while (!flushIdle(dir)) Thread.sleep(20)
+      flushBusy.remove(dir)
       turnEvents(turns, gapMs)
         .writeStream
         .outputMode("append")
@@ -167,10 +173,14 @@ object StreamingIndexer {
           // A crash mid-async-flush is the same crash the marker already
           // handles — the next flush resumes the pinned set.
           if (backlog(dir).get() >= coalesceTurns && flushIdle(dir)) {
-            // reset at flush START: turns spilled while the flush runs (and
-            // the remainder it re-writes) count toward the NEXT threshold —
-            // the threshold is an amortization knob, not a correctness device
-            backlog(dir).set(0L)
+            // consume the gauge at flush START: turns spilled while the
+            // flush runs accumulate toward the NEXT threshold. The pass
+            // reports back what stayed staged — the rewritten remainder
+            // (still-open conversations' turns) goes BACK on the gauge, so
+            // a burst-then-trickle of closures keeps re-triggering flushes
+            // instead of leaving closed conversations staged indefinitely
+            // (ADVICE r5); a failed or no-op pass restores what it consumed.
+            val consumed = backlog(dir).getAndSet(0L)
             val spark = batch.sparkSession
             flushExec.submit(new Runnable {
               override def run(): Unit = {
@@ -184,9 +194,22 @@ object StreamingIndexer {
                 // a failed flush is RECOVERABLE (the pinned marker resumes it)
                 // but never silent: the stage backlog otherwise grows unseen
                 // until the next flush retries
-                try { flushOnce(spark, dir, cfg); () }
-                catch {
+                try {
+                  val pass = flushOnce(spark, dir, cfg)
+                  // epochs spilled between the getAndSet above and the pass's
+                  // file listing are counted twice (once by their spill, once
+                  // inside the remainder) — that only fires an extra cheap
+                  // no-op flush; the gauge is an amortization knob, not a
+                  // correctness device
+                  if (pass.consumedInput) backlog(dir).addAndGet(pass.remainder)
+                  else backlog(dir).addAndGet(consumed)
+                  ()
+                } catch {
                   case scala.util.control.NonFatal(e) =>
+                    // restore the consumed count (ADVICE r5): the staged
+                    // turns are still on disk; a zeroed gauge would make the
+                    // retry wait for a full coalesceTurns of NEW arrivals
+                    backlog(dir).addAndGet(consumed)
                     System.err.println(
                       s"[graft-stream] async flush of $dir failed " +
                         s"(pinned input resumes at next flush): $e")
@@ -198,6 +221,7 @@ object StreamingIndexer {
           }
         }
         .start()
+    }
 
   private val flushExec = java.util.concurrent.Executors.newCachedThreadPool(
     (r: Runnable) => {
@@ -221,9 +245,12 @@ object StreamingIndexer {
   private def stagedNames(dir: String): Seq[String] =
     StoreIO.listNames(stageDir(dir)).sorted
 
-  /** Turns spilled since the last flush START, per index root — the flush-
-    * threshold gauge. In-JVM only: after a restart it reads 0 and the
-    * documented startup `flushStaged` drain folds any pre-crash backlog. */
+  /** Staged-turn gauge per index root — the flush threshold. Counts turns
+    * spilled since the last flush start PLUS the last flush's rewritten
+    * remainder (still-open conversations' turns are still staged input, so
+    * later closure-only triggers can re-fire a flush against them — ADVICE
+    * r5). In-JVM only: after a restart it reads 0 and the documented startup
+    * `flushStaged` drain folds any pre-crash backlog. */
   private val backlogs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private def backlog(dir: String): java.util.concurrent.atomic.AtomicLong =
@@ -293,6 +320,10 @@ object StreamingIndexer {
     // contract is "everything closed is in the index when I return".
     flushLocks.computeIfAbsent(dir, _ => new Object).synchronized {
       var total = 0L
+      // the drain consumes the whole gauge; the final pass's remainder
+      // (still-open conversations' turns) is what stays staged afterwards
+      backlog(dir).set(0L)
+      var lastRem = 0L
       // every pass strictly consumes its input set (a resumed marker's
       // files + marker, or the currently-staged files), so this terminates
       // once the backlog present at each list time is folded; a still-live
@@ -306,19 +337,41 @@ object StreamingIndexer {
         stagedNames(dir).exists(n => ClosedName.findFirstIn(n).isDefined &&
           StoreIO.exists(s"${stageDir(dir)}/$n/_SUCCESS"))
       while (passes == 0 || pending || closedStaged) {
-        total += flushStagedLocked(spark, dir, cfg)
+        val pass = flushStagedLocked(spark, dir, cfg)
+        total += pass.folded
+        if (pass.consumedInput) lastRem = pass.remainder
         passes += 1
-        if (passes >= 64) // defensive bound; unreachable post-stop
+        if (passes >= 64) {
+          // defensive bound; unreachable post-stop. NEVER silent (ADVICE
+          // r5): returning here with closed markers still staged violates
+          // the drain contract, so say so where the operator will see it.
+          if (pending || closedStaged)
+            System.err.println(
+              s"[graft-stream] flushStaged($dir) hit the $passes-pass bound " +
+                "with staged input remaining — a concurrent stream is " +
+                "outspilling the drain; closed conversations are NOT all " +
+                "indexed. Stop the query and call flushStaged again.")
+          backlog(dir).addAndGet(lastRem)
           return total
+        }
       }
+      backlog(dir).addAndGet(lastRem)
       total
     }
+
+  /** One locked pass's outcome: turns folded into the index, turns rewritten
+    * to the remainder file (still-open conversations — they stay staged),
+    * and whether the pass consumed an input set at all (a no-op pass — no
+    * closures staged, nothing pinned — leaves its caller's gauge snapshot
+    * valid). */
+  private[streaming] final case class FlushPass(
+      folded: Long, remainder: Long, consumedInput: Boolean)
 
   /** Single locked pass (the async trigger path): folds ONE pinned-or-
     * current file set and returns, preserving the coalescing economics —
     * the drain loop above is the shutdown/startup contract. */
   private def flushOnce(
-      spark: SparkSession, dir: String, cfg: BuildConfig): Long =
+      spark: SparkSession, dir: String, cfg: BuildConfig): FlushPass =
     flushLocks.computeIfAbsent(dir, _ => new Object).synchronized {
       flushStagedLocked(spark, dir, cfg)
     }
@@ -326,7 +379,7 @@ object StreamingIndexer {
   private def flushStagedLocked(
       spark: SparkSession,
       dir: String,
-      cfg: BuildConfig): Long = {
+      cfg: BuildConfig): FlushPass = {
     val stage = stageDir(dir)
     val pinned: Option[Seq[String]] =
       StoreIO.readString(pendingMarker(dir))
@@ -343,7 +396,8 @@ object StreamingIndexer {
     val live = names.filter(n => StoreIO.exists(s"$stage/$n"))
     val turnFiles = live.filter(n => TurnName.findFirstIn(n).isDefined)
     val closedFiles = live.filter(n => ClosedName.findFirstIn(n).isDefined)
-    if (closedFiles.isEmpty && pinned.isEmpty) return 0L
+    if (closedFiles.isEmpty && pinned.isEmpty)
+      return FlushPass(0L, 0L, consumedInput = false)
     if (pinned.isEmpty)
       StoreIO.writeString(pendingMarker(dir), names.mkString("", "\n", "\n"))
     // deterministic per-flush id from the PINNED set (stable across resume)
@@ -402,7 +456,7 @@ object StreamingIndexer {
         s"flushStaged: rename $tmpRem -> $dst failed")
     } else StoreIO.delete(tmpRem)
     StoreIO.delete(pendingMarker(dir))
-    folded
+    FlushPass(folded, remCount, consumedInput = true)
     } finally {
       turnsAll.foreach(_.unpersist())
       closedIds.foreach(_.unpersist())
