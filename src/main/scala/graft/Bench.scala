@@ -543,45 +543,59 @@ object Bench {
           t.copy(ts = new Timestamp(T0 + w * 60000L + t.turn_idx * 100L)))
       }
       val totalTurns = waveTurns.map(_.length.toLong).sum
-      val dir = java.nio.file.Files.createTempDirectory("bench-stream-idx").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("bench-stream-ckpt").toString
       // BM25-only delta appends (the continuously-appending stream's mode);
       // threshold ~ a fifth of the corpus → several async flush cycles
       // overlap the arrival window, with a small post-arrival remainder
       val cfg = BuildConfig(buckets = 4, cosineNorms = false)
       val coalesce = math.max(1L, totalTurns / 5)
 
-      val src = MemoryStream[Turn]
-      val t0 = System.nanoTime()
-      val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 30000L, ckpt,
-        cfg, coalesceTurns = coalesce)
-      try {
-        waveTurns.foreach { wt =>
-          src.addData(wt.toSeq)
+      case class StreamRun(arrival: Double, drain: Double, docs: Long) {
+        def wall: Double = arrival + drain
+      }
+      def runOnce(): StreamRun = {
+        val dir = java.nio.file.Files.createTempDirectory("bench-stream-idx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("bench-stream-ckpt").toString
+        val src = MemoryStream[Turn]
+        val t0 = System.nanoTime()
+        val q = StreamingIndexer.indexStream(src.toDS(), dir, gapMs = 30000L, ckpt,
+          cfg, coalesceTurns = coalesce)
+        try {
+          waveTurns.foreach { wt =>
+            src.addData(wt.toSeq)
+            q.processAllAvailable()
+          }
+          // sentinel conv far in the future: its turn-0 watermark closes the
+          // last wave; the sentinel conversation ITSELF stays open, so the
+          // doc-count expectation is exactly nConvs
+          src.addData(Turn("zz_sentinel", 0, "user", "fin", null,
+            new Timestamp(T0 + (waves + 100) * 60000L)))
           q.processAllAvailable()
-        }
-        // sentinel conv far in the future: its turn-0 watermark closes the
-        // last wave; the sentinel conversation ITSELF stays open, so the
-        // doc-count expectation is exactly nConvs
-        src.addData(Turn("zz_sentinel", 0, "user", "fin", null,
-          new Timestamp(T0 + (waves + 100) * 60000L)))
-        q.processAllAvailable()
-        src.addData(Turn("zz_sentinel", 1, "user", "fin", null,
-          new Timestamp(T0 + (waves + 101) * 60000L)))
-        q.processAllAvailable()
-      } finally q.stop()
-      val arrivalSec = (System.nanoTime() - t0) / 1e9
-      val tF = System.nanoTime()
-      StreamingIndexer.flushStaged(spark, dir, cfg)
-      val flushSec = (System.nanoTime() - tF) / 1e9
-      val wall = arrivalSec + flushSec
-      val docs = IndexStore.load(spark, dir, cfg).meta.docs
+          src.addData(Turn("zz_sentinel", 1, "user", "fin", null,
+            new Timestamp(T0 + (waves + 101) * 60000L)))
+          q.processAllAvailable()
+        } finally q.stop()
+        val arrivalSec = (System.nanoTime() - t0) / 1e9
+        val tF = System.nanoTime()
+        StreamingIndexer.flushStaged(spark, dir, cfg)
+        val flushSec = (System.nanoTime() - tF) / 1e9
+        StreamRun(arrivalSec, flushSec, IndexStore.load(spark, dir, cfg).meta.docs)
+      }
+      // best-of-2 (identical StreamScale configs measured 3× apart under
+      // host steal — BENCH/BASELINE.md); the second round is deadline-gated
+      var best = runOnce()
+      var streamRounds = 1
+      if (timeLeft > best.wall * 1.3 + 120) {
+        val r2 = runOnce()
+        streamRounds = 2
+        if (r2.wall < best.wall) best = r2
+      } else skipped += "streaming:best_of_2 (deadline, single-shot)"
       s""""streaming":{"convs":$nConvs,"waves":$waves,"turns":$totalTurns,""" +
-        s""""coalesce_turns":$coalesce,"arrival_sec":${f"$arrivalSec%.2f"},""" +
-        s""""drain_sec":${f"$flushSec%.2f"},"wall_sec":${f"$wall%.2f"},""" +
-        s""""end_to_end_turns_per_sec":${f"${totalTurns / wall}%.0f"},""" +
-        s""""arrival_turns_per_sec":${f"${totalTurns / arrivalSec}%.0f"},""" +
-        s""""indexed_docs":$docs,"expected_docs":$nConvs}"""
+        s""""coalesce_turns":$coalesce,"best_of":$streamRounds,""" +
+        s""""arrival_sec":${f"${best.arrival}%.2f"},""" +
+        s""""drain_sec":${f"${best.drain}%.2f"},"wall_sec":${f"${best.wall}%.2f"},""" +
+        s""""end_to_end_turns_per_sec":${f"${totalTurns / best.wall}%.0f"},""" +
+        s""""arrival_turns_per_sec":${f"${totalTurns / best.arrival}%.0f"},""" +
+        s""""indexed_docs":${best.docs},"expected_docs":$nConvs}"""
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

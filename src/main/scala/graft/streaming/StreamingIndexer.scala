@@ -377,9 +377,25 @@ object StreamingIndexer {
     }
 
   private def flushStagedLocked(
-      spark: SparkSession,
+      sparkIn: SparkSession,
       dir: String,
       cfg: BuildConfig): FlushPass = {
+    // the flush is index-BUILD work, but the caller's session is tuned for
+    // the STREAM (state-store-sized shuffle partitions — 16 — and AQE off
+    // for micro-batch fixed cost). Run the flush on a cloned session (same
+    // SparkContext, own SQLConf): build-sized partitions and AQE on (skew
+    // handling is load-bearing at build shuffles), without touching the
+    // live query's planning. Measured r6: the 16-partition flush halved
+    // build parallelism on 32 cores and the drain became the e2e floor.
+    val spark = {
+      val s = sparkIn.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", math.max(
+        2 * sparkIn.sparkContext.defaultParallelism,
+        sparkIn.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString)
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s
+    }
+    val tPass0 = System.nanoTime()
     val stage = stageDir(dir)
     val pinned: Option[Seq[String]] =
       StoreIO.readString(pendingMarker(dir))
@@ -456,6 +472,8 @@ object StreamingIndexer {
         s"flushStaged: rename $tmpRem -> $dst failed")
     } else StoreIO.delete(tmpRem)
     StoreIO.delete(pendingMarker(dir))
+    System.err.println(f"[graft-stream] flush pass dir=$dir folded=$folded " +
+      f"rem=$remCount files=${live.length} sec=${(System.nanoTime() - tPass0) / 1e9}%.1f")
     FlushPass(folded, remCount, consumedInput = true)
     } finally {
       turnsAll.foreach(_.unpersist())
