@@ -208,7 +208,7 @@ object Bench {
     val ((nTurns1, sec1), (_, sec4), rounds14) =
       interleavedPair("build", s"local[$nCores]", 2 * nCores,
         s"local[${4 * nCores}]", 8 * nCores, nConvs, (0.82, 1.05),
-        reserve = 27 * 60.0)
+        reserve = 22 * 60.0)
     val eff14 = (sec1 / sec4) / 4.0
     emit(
       s""""build":{"n_turns":$nTurns1,"n_cores":$nCores,"n4_cores":${4 * nCores},""" +
@@ -232,7 +232,7 @@ object Bench {
       val ((ct, cSec2), (_, cSec8), cRounds) =
         interleavedPair("cluster", "local-cluster[2,2,6144]", 8,
           "local-cluster[8,2,6144]", 32, clusterConvs, (0.70, 1.05),
-          reserve = 21 * 60.0)
+          reserve = 16 * 60.0)
       val cEff = (cSec2 / cSec8) / 4.0
       emit(
         s""""cluster":{"mode":"local-cluster","execs_n":2,"execs_4n":8,""" +
@@ -248,7 +248,7 @@ object Bench {
     }
 
     // ---- informational in-JVM 2→8 (comparable with r1–r5) — optional ----
-    if (timeLeft > 21 * 60.0) {
+    if (timeLeft > 16 * 60.0) {
       val (_, sec2) = measureOnce(s"local[${2 * nCores}]", 4 * nCores, nConvs)
       val (_, sec8) = measureOnce(s"local[${8 * nCores}]", 16 * nCores, nConvs)
       val eff28 = (sec2 / sec8) / 4.0
