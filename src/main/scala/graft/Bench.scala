@@ -180,7 +180,7 @@ object Bench {
     def eff = (bestN / best4) / 4.0
     var extra = 0
     while (extra < 2 && (eff < band._1 || eff > band._2)) {
-      if (timeLeft < reserve + roundCost * 1.2) {
+      if (timeLeft < reserve + roundCost * 1.05) {
         skipped += s"$label:remeasure (eff ${f"$eff%.3f"} outside band, deadline)"
         extra = 2
       } else { oneRound(); extra += 1 }
@@ -208,7 +208,7 @@ object Bench {
     val ((nTurns1, sec1), (_, sec4), rounds14) =
       interleavedPair("build", s"local[$nCores]", 2 * nCores,
         s"local[${4 * nCores}]", 8 * nCores, nConvs, (0.82, 1.05),
-        reserve = 22 * 60.0)
+        reserve = 20 * 60.0)
     val eff14 = (sec1 / sec4) / 4.0
     emit(
       s""""build":{"n_turns":$nTurns1,"n_cores":$nCores,"n4_cores":${4 * nCores},""" +
@@ -232,7 +232,7 @@ object Bench {
       val ((ct, cSec2), (_, cSec8), cRounds) =
         interleavedPair("cluster", "local-cluster[2,2,6144]", 8,
           "local-cluster[8,2,6144]", 32, clusterConvs, (0.70, 1.05),
-          reserve = 16 * 60.0)
+          reserve = 14 * 60.0)
       val cEff = (cSec2 / cSec8) / 4.0
       emit(
         s""""cluster":{"mode":"local-cluster","execs_n":2,"execs_4n":8,""" +
@@ -356,10 +356,22 @@ object Bench {
       s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"},""" +
       s""""p50_best_sec":${f"$p50Best%.4f"},"p95_best_sec":${f"$p95Best%.4f"},""" +
       s""""n":${latencies.length}}""")
+    // primary ratio = MEDIAN of the per-(query, round) pairwise ratios:
+    // each cur/ref pair runs back-to-back within ~a second, so drift that
+    // moves both measurements cancels inside every pair — where a ratio of
+    // p50s still inherits any drift that lands between the two pooled
+    // distributions (observed: a mid-probe steal spike moved the p50 ratio
+    // ±0.05 while the pairwise median held)
+    val pairRatios = perQuery.toSeq.zip(perQueryRef.toSeq).flatMap {
+      case (cs, rs) => cs.zip(rs).map { case (c, r) => c / r }
+    }
+    val medianPairRatio = pctOf(pairRatios, 0.50)
     emit(
-      s""""serving_ratio":{"cur_p50_best_sec":${f"$p50Best%.4f"},""" +
+      s""""serving_ratio":{"ratio":${f"$medianPairRatio%.3f"},""" +
+      s""""estimator":"median of ${pairRatios.length} back-to-back (cur, ref) pair ratios",""" +
+      s""""cur_p50_best_sec":${f"$p50Best%.4f"},""" +
       s""""ref_p50_best_sec":${f"$p50BestRef%.4f"},""" +
-      s""""ratio":${f"${p50Best / p50BestRef}%.3f"},""" +
+      s""""p50_best_ratio":${f"${p50Best / p50BestRef}%.3f"},""" +
       s""""ref":"pinned r3-shape exact plan, same session, back-to-back"}""")
 
     // ---- batch serving: all 13 bot queries scored in ONE job ----
