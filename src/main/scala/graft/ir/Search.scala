@@ -249,13 +249,16 @@ class Searcher(index: IndexView) extends Serializable {
     //    the matched docs — see BENCH/BASELINE.md round 2.)
     val scored0 = scorer match {
       case TfIdfCosine =>
-        val perDoc = decoded
+        // `nterms` exists only for And-mode conjunction filtering; Or mode
+        // (the serving default) keeps the hot agg one buffer column narrower
+        val grouped = decoded
           .withColumn("c", element_at(qwIdfMap, col("term_id")) * col("tf"))
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("cnum"), count(lit(1)).as("nterms"))
         val matched = mode match {
-          case Or  => perDoc
-          case And => perDoc.filter(col("nterms") === qts.length)
+          case Or  => grouped.agg(sum(col("c")).as("cnum"))
+          case And => grouped
+            .agg(sum(col("c")).as("cnum"), count(lit(1)).as("nterms"))
+            .filter(col("nterms") === qts.length)
         }
         matched
           .join(index.docStats.select("doc_id", "conv_id", "max_tf", "norm"), "doc_id")
@@ -268,14 +271,14 @@ class Searcher(index: IndexView) extends Serializable {
         // slower ObjectHashAggregate), and the BM25 fold becomes a flat
         // |q|-branch codegen expression after the stats join. ~25% off
         // stage-2 task time at p50 on the 400k-conv synth index.
-        val perDoc = decoded
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("nterms"),
-            qts.map(q => sum(when(col("term_id") === q.termId, col("tf")))
-              .as(s"tf_${q.termId}")): _*)
+        val tfAggs = qts.map(q =>
+          sum(when(col("term_id") === q.termId, col("tf"))).as(s"tf_${q.termId}"))
+        val grouped = decoded.groupBy("doc_id")
         val matched = mode match {
-          case Or  => perDoc
-          case And => perDoc.filter(col("nterms") === qts.length)
+          case Or  => grouped.agg(tfAggs.head, tfAggs.tail: _*)
+          case And => grouped
+            .agg(count(lit(1)).as("nterms"), tfAggs: _*)
+            .filter(col("nterms") === qts.length)
         }
         val sat = qts.map { q =>
           val tf = col(s"tf_${q.termId}")
@@ -290,14 +293,16 @@ class Searcher(index: IndexView) extends Serializable {
         // long-query fallback: per-doc contribution list folded on the
         // fixed-point grid — order-independent by construction (see
         // ScoreScale), so no sort is needed before the fold
-        val perDoc = decoded
+        val contribAgg =
+          collect_list(struct(col("term_id"), col("qb"), col("tf"))).as("contribs")
+        val grouped = decoded
           .withColumn("qb", element_at(qbMap, col("term_id")))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("nterms"),
-            collect_list(struct(col("term_id"), col("qb"), col("tf"))).as("contribs"))
         val matched = mode match {
-          case Or  => perDoc
-          case And => perDoc.filter(col("nterms") === qts.length)
+          case Or  => grouped.agg(contribAgg)
+          case And => grouped
+            .agg(count(lit(1)).as("nterms"), contribAgg)
+            .filter(col("nterms") === qts.length)
         }
         matched
           .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
