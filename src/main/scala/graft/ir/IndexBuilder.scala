@@ -210,7 +210,15 @@ object IndexBuilder {
       df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val spark = df.sparkSession
-    val withMono = sortedWithMono(df, order)
+    // stage the exchange INPUT: repartitionByRange's boundary sampling is a
+    // separate job over the input lineage, so an unstaged input (a distinct
+    // over the turns table, the dictionary aggregation) is computed twice —
+    // once for the sample, once for the real shuffle (guide §2.4). The cache
+    // is dropped as soon as the shuffle map output exists (the count job
+    // below), which downstream jobs on the SAME RDD instance reuse.
+    val preCached = df.storageLevel != StorageLevel.NONE
+    val pre = if (preCached) df else df.persist(StorageLevel.MEMORY_AND_DISK)
+    val withMono = sortedWithMono(pre, order)
     val rdd = GraftBridge.toInternalRdd(withMono)
     val counts: Array[Long] = spark.sparkContext.runJob(
       rdd,
@@ -219,6 +227,7 @@ object IndexBuilder {
         while (it.hasNext) { it.next(); n += 1 }
         n
       })
+    if (!preCached) pre.unpersist()
     GraftBridge.internalCreateDataFrame(spark, rdd, withMono.schema)
       .withColumn(idName, denseIdExpr(
         counts.indices.map(p => p.toLong -> counts.take(p).sum).toMap))
@@ -243,12 +252,17 @@ object IndexBuilder {
     * unpersist() would not reach the cached plan (ADVICE r4). */
   private[graft] def zipWithDenseIdCounted(
       df: DataFrame, order: Seq[Column], idName: String): (DataFrame, Long, DataFrame) = {
-    val staged = sortedWithMono(df, order)
+    // same input-staging rationale as zipWithDenseId: without it the range
+    // partitioner's sampling job recomputes the input lineage a second time
+    val preCached = df.storageLevel != StorageLevel.NONE
+    val pre = if (preCached) df else df.persist(StorageLevel.MEMORY_AND_DISK)
+    val staged = sortedWithMono(pre, order)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = staged
       .groupBy(shiftrightunsigned(col("__mono"), 33).as("__pid"))
       .count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (!preCached) pre.unpersist() // staged is fully materialized above
     // pids of empty partitions are absent; prefix-sum over the present ones
     val (offsets, total) = counts.foldLeft((Map.empty[Long, Long], 0L)) {
       case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)

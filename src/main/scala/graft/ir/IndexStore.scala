@@ -715,62 +715,125 @@ object IndexStore {
    * table (needed only by cosine-mode appends and compaction) is
    * reconstructed from the stored blocks, a lossless codec round-trip.
    */
+  /** Output partition count targeting ~128 MB files (guide §6): a saveView
+    * of a small corpus otherwise writes one near-empty file per cached
+    * partition per table (16 partitions × 8 postings buckets ≈ 128 files at
+    * sf0.1), and every later load/scan of the store pays per-file open cost.
+    * Derived from estimated bytes so large views still get full write
+    * parallelism. */
+  private def outParts(estBytes: Long): Int =
+    math.max(1, math.min(10000, (estBytes / (128L << 20)).toInt + 1))
+
   def saveView(spark: SparkSession, view: IndexView, dir: String): Unit = {
     import spark.implicits._
     require(readManifest(dir).isEmpty && readConfig(dir).isEmpty,
       s"saveView target $dir is not empty")
     val cfg = view.cfg
     StoreIO.mkdirs(dir)
+
+    // The five table writes (and the begin-signature job) are INDEPENDENT
+    // reads of the in-memory view, so they run as concurrent Spark jobs from
+    // a small driver pool (guide §2.6): each alone is a fixed-cost action
+    // whose tail leaves the box idle. Config + manifest commit LAST, so a
+    // crash mid-save leaves a root that readManifest/readConfig report empty
+    // and a retry simply overwrites the partial tables (the resumability gap
+    // ADVICE r6 flagged); each stage also records its own duration instead
+    // of cumulative-since-t0 millis (the other half of that advice).
+    def timed(body: => Unit): Long = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1000000
+    }
+    @volatile var sig = ""
+    val tasks: Seq[() => (String, Long, String, String, Long)] = Seq(
+      () => {
+        val ms = timed {
+          // identical formula to buildAndSave's, over the same rows the
+          // doc_map write commits - so resume/append input checks behave as
+          // if the store had been built from the view's corpus
+          val r = view.docMap
+            .select("conv_id").distinct()
+            .selectExpr(
+              "count(*) c", "coalesce(bit_xor(xxhash64(conv_id)), 0) x").head()
+          sig = s"n=${r.getLong(0)},x=${r.getLong(1)}"
+        }
+        ("begin", 0L, "", "", ms)
+      },
+      () => ("doc_map", view.meta.docs, "doc_map.parquet",
+        "saved from in-memory view", timed {
+          view.docMap.select("doc_id", "conv_id")
+            .coalesce(outParts(view.meta.docs * 48))
+            .write.mode("overwrite").parquet(s"$dir/doc_map.parquet")
+        }),
+      () => ("tf", view.meta.postings, "tf.parquet",
+        "decoded from view blocks", timed {
+          Exports.decodedPostings(view)
+            .join(view.termDict.toDF().select("term_id", "term"), "term_id")
+            .select("doc_id", "term", "tf")
+            .coalesce(outParts(view.meta.postings * 24))
+            .write.mode("overwrite").parquet(s"$dir/tf.parquet")
+        }),
+      () => ("term_dict", view.meta.terms, "term_dict.parquet",
+        "saved from in-memory view", timed {
+          view.termDict.toDF().coalesce(outParts(view.meta.terms * 64))
+            .write.mode("overwrite").parquet(s"$dir/term_dict.parquet")
+        }),
+      () => ("doc_stats", view.meta.docs, "doc_stats.parquet",
+        "saved from in-memory view", timed {
+          view.docStats.toDF().coalesce(outParts(view.meta.docs * 64))
+            .write.mode("overwrite").parquet(s"$dir/doc_stats.parquet")
+        }),
+      () => ("postings", -1L, "postings.parquet",
+        "saved from in-memory view", timed {
+          view.postings.toDF()
+            .withColumn("bucket", pmod(col("term_id"), lit(cfg.buckets)))
+            // cluster by bucket before the partitionBy write: without it
+            // every cached postings partition writes a sliver into every
+            // bucket dir (parts x buckets files); with it each bucket dir
+            // holds ~outParts-worth of full-size files
+            .repartition(outParts(view.meta.blocks * 400), col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$dir/postings.parquet")
+        }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val results =
+      try {
+        val futures = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[(String, Long, String, String, Long)] {
+            override def call(): (String, Long, String, String, Long) = t()
+          }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+
+    Seq(view.meta).toDS().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/index_meta.parquet")
+
+    // commit: config first, then manifest records in the canonical order
     writeConfig(dir, cfg)
-    val t0 = System.nanoTime()
-    def rec(stage: String, rows: Long, table: String, detail: String): Unit =
-      appendManifest(dir, StageRecord(stage, rows,
-        (System.nanoTime() - t0) / 1000000,
-        if (table.isEmpty) 0L else dirBytes(s"$dir/$table"), detail))
-
-    view.docMap.select("doc_id", "conv_id")
-      .write.mode("overwrite").parquet(s"$dir/doc_map.parquet")
-    // begin signature from the WRITTEN doc_map: identical formula to
-    // buildAndSave's, so resume/append input checks behave as if the store
-    // had been built from the view's corpus
-    val sig = {
-      val r = spark.read.parquet(s"$dir/doc_map.parquet")
-        .select("conv_id").distinct()
-        .selectExpr("count(*) c", "coalesce(bit_xor(xxhash64(conv_id)), 0) x").head()
-      s"n=${r.getLong(0)},x=${r.getLong(1)}"
+    results.foreach {
+      case ("begin", _, _, _, ms) =>
+        appendManifest(dir, StageRecord("begin", 0L, ms, 0L, sig))
+      case ("postings", _, table, detail, ms) =>
+        appendManifest(dir, StageRecord("posting_rows", 0L, 0L, 0L,
+          "skipped: blocks saved directly from the view"))
+        (0 until cfg.buckets).foreach { bkt =>
+          appendManifest(dir, StageRecord(s"postings:bucket=$bkt", -1L,
+            if (bkt == 0) ms else 0L,
+            dirBytes(s"$dir/$table/bucket=$bkt"), detail))
+        }
+      case (stage, rows, table, detail, ms) =>
+        appendManifest(dir,
+          StageRecord(stage, rows, ms, dirBytes(s"$dir/$table"), detail))
     }
-    rec("begin", 0L, "", sig)
-    rec("doc_map", view.meta.docs, "doc_map.parquet", "saved from in-memory view")
-
-    Exports.decodedPostings(view)
-      .join(view.termDict.toDF().select("term_id", "term"), "term_id")
-      .select("doc_id", "term", "tf")
-      .write.mode("overwrite").parquet(s"$dir/tf.parquet")
-    rec("tf", view.meta.postings, "tf.parquet", "decoded from view blocks")
-
-    view.termDict.toDF().write.mode("overwrite").parquet(s"$dir/term_dict.parquet")
-    rec("term_dict", view.meta.terms, "term_dict.parquet", "saved from in-memory view")
-
-    view.docStats.toDF().write.mode("overwrite").parquet(s"$dir/doc_stats.parquet")
-    rec("doc_stats", view.meta.docs, "doc_stats.parquet", "saved from in-memory view")
-
-    rec("posting_rows", 0L, "", "skipped: blocks saved directly from the view")
-    view.postings.toDF()
-      .withColumn("bucket", pmod(col("term_id"), lit(cfg.buckets)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings.parquet")
-    (0 until cfg.buckets).foreach { bkt =>
-      appendManifest(dir, StageRecord(s"postings:bucket=$bkt", -1L, 0L,
-        dirBytes(s"$dir/postings.parquet/bucket=$bkt"), "saved from in-memory view"))
-    }
-
-    Seq(view.meta).toDS().write.mode("overwrite").parquet(s"$dir/index_meta.parquet")
-    rec("index_meta", 1L, "index_meta.parquet", "saved from in-memory view")
+    appendManifest(dir, StageRecord("index_meta", 1L, 0L,
+      dirBytes(s"$dir/index_meta.parquet"), "saved from in-memory view"))
 
     val rows = readManifest(dir).values.toSeq.map(r =>
       BuildMetric(r.stage, r.detail, r.rows, r.bytes, r.millis, r.detail))
-    rows.toDS().write.mode("overwrite").parquet(s"$dir/build_metrics.parquet")
-    rec("build_metrics", rows.size.toLong, "build_metrics.parquet", "saveView lineage")
+    rows.toDS().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/build_metrics.parquet")
+    appendManifest(dir, StageRecord("build_metrics", rows.size.toLong, 0L,
+      dirBytes(s"$dir/build_metrics.parquet"), "saveView lineage"))
   }
 
   /** Build the base index on first call, append on every later call — the

