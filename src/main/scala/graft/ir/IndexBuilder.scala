@@ -250,24 +250,33 @@ object IndexBuilder {
   /** Also returns the PERSISTED staged frame (3rd element) so callers can
     * release the cache — the public result is a projection over it, whose
     * unpersist() would not reach the cached plan (ADVICE r4). */
+  /** @param sumCol optional column whose global sum rides the SAME counting
+    *   job (e.g. Σ df over the dictionary = the corpus posting count) —
+    *   callers that need such an aggregate would otherwise pay one more
+    *   full-fledged action for it. 4th result element; 0 when None. */
   private[graft] def zipWithDenseIdCounted(
-      df: DataFrame, order: Seq[Column], idName: String): (DataFrame, Long, DataFrame) = {
+      df: DataFrame, order: Seq[Column], idName: String,
+      sumCol: Option[String] = None): (DataFrame, Long, DataFrame, Long) = {
     // same input-staging rationale as zipWithDenseId: without it the range
     // partitioner's sampling job recomputes the input lineage a second time
     val preCached = df.storageLevel != StorageLevel.NONE
     val pre = if (preCached) df else df.persist(StorageLevel.MEMORY_AND_DISK)
     val staged = sortedWithMono(pre, order)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = staged
+    val rows = staged
       .groupBy(shiftrightunsigned(col("__mono"), 33).as("__pid"))
-      .count().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .agg(count(lit(1)).as("__n"),
+        sum(sumCol.map(col).getOrElse(lit(0L))).as("__s"))
+      .collect()
+    val counts = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val extraSum = rows.iterator.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
     if (!preCached) pre.unpersist() // staged is fully materialized above
     // pids of empty partitions are absent; prefix-sum over the present ones
     val (offsets, total) = counts.foldLeft((Map.empty[Long, Long], 0L)) {
       case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)
     }
-    (staged.withColumn(idName, denseIdExpr(offsets)).drop("__mono"), total, staged)
+    (staged.withColumn(idName, denseIdExpr(offsets)).drop("__mono"), total, staged,
+      extraSum)
   }
 
   private def sortedWithMono(df: DataFrame, order: Seq[Column]): DataFrame = {
@@ -354,7 +363,7 @@ object IndexBuilder {
     // column. The counted/staged id assignment materializes its cache in
     // the SAME action that returns nDocs (no separate count), and the
     // projection below reads from that cache — no second persist.
-    val (docMapRaw, nDocs, docMapStaged) = zipWithDenseIdCounted(
+    val (docMapRaw, nDocs, docMapStaged, _) = zipWithDenseIdCounted(
       turns.select("conv_id").distinct(), Seq(col("conv_id")), "doc_id")
     val docMap = docMapRaw.select("doc_id", "conv_id")
 
@@ -372,8 +381,10 @@ object IndexBuilder {
     // the staged cache for every later consumer.
     val termAgg = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    val (dictRaw, nTerms, dictStaged) = zipWithDenseIdCounted(
-      termAgg, Seq(col("df").desc, col("term").asc), "term_id")
+    // Σ df (= the corpus posting count, meta.postings) rides the dictionary
+    // counting job — previously one more dict-wide action at the end of build
+    val (dictRaw, nTerms, dictStaged, nPostings) = zipWithDenseIdCounted(
+      termAgg, Seq(col("df").desc, col("term").asc), "term_id", sumCol = Some("df"))
     val termDict = dictRaw
       .withColumn("idf", log10(lit(nDocs.toDouble) / col("df")))
       .withColumn("bm25_idf",
@@ -430,9 +441,6 @@ object IndexBuilder {
       cfg.resolveSaltRange(nDocs, parts), nDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // postings count = Σ df (one pass over the tiny dict, not the tf table)
-    val nPostings = termDict.toDF().agg(coalesce(sum("df"), lit(0L)))
-      .head().getLong(0)
     val meta = IndexMeta(
       docs = nDocs,
       terms = nTerms,
@@ -485,12 +493,57 @@ object IndexBuilder {
         (col("tf").cast("double") / col("max_tf")).as("ntf"),
         col("doc_len").as("dl"))
 
+    blocksFromRows(spark, rows)
+  }
+
+  /** (term_id, salt, doc_id, tf, ntf, dl) rows → codec blocks, one group per
+    * (term_id, salt). Sort-based: hash-exchange on the group key (groups stay
+    * whole per partition at any partition count, so output is partitioning-
+    * independent), Tungsten sort by (term_id, salt, doc_id), then a streaming
+    * group walk that buffers one bounded (≤ saltRange docs) group at a time.
+    * Replaces `groupBy + sort_array(collect_list(struct))) + flatMap`, whose
+    * ObjectHashAggregate built every group's list in an object hash table and
+    * sorted it with `sort_array`'s interpreted comparator — measured ~35%
+    * slower at bench scale. doc_id is unique within a group, so sorting by it
+    * alone reproduces the struct sort exactly: blocks stay byte-identical
+    * (DeterminismResumeSpec). */
+  private[graft] def blocksFromRows(spark: SparkSession, rows: DataFrame): Dataset[Block] = {
+    import spark.implicits._
     rows
-      .groupBy("term_id", "salt")
-      .agg(sort_array(collect_list(struct(
-        col("doc_id"), col("tf"), col("ntf"), col("dl")))).as("plist"))
-      .select(col("term_id"), col("plist"))
-      .as[(Long, Seq[(Long, Int, Double, Long)])]
-      .flatMap { case (tid, plist) => Codec.buildBlocks(tid, plist.toArray) }
+      .repartition(col("term_id"), col("salt"))
+      .sortWithinPartitions("term_id", "salt", "doc_id")
+      .select(col("term_id"), col("salt"), col("doc_id"), col("tf"),
+        col("ntf"), col("dl"))
+      .as[(Long, Long, Long, Int, Double, Long)]
+      .mapPartitions { it =>
+        new scala.collection.AbstractIterator[Block] {
+          private var pending: Iterator[Block] = Iterator.empty
+          private var cur: (Long, Long, Long, Int, Double, Long) = _
+          private var have = false
+          private val buf =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Long)]
+          private def advance(): Unit = {
+            while (!pending.hasNext && (have || it.hasNext)) {
+              if (!have && it.hasNext) { cur = it.next(); have = true }
+              if (have) {
+                val tid = cur._1
+                val salt = cur._2
+                buf.clear()
+                var go = true
+                while (go) {
+                  buf += ((cur._3, cur._4, cur._5, cur._6))
+                  if (it.hasNext) {
+                    cur = it.next()
+                    go = cur._1 == tid && cur._2 == salt
+                  } else { go = false; have = false }
+                }
+                pending = Codec.buildBlocks(tid, buf.toArray).iterator
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): Block = { advance(); pending.next() }
+        }
+      }
   }
 }

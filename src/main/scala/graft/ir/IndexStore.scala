@@ -251,14 +251,8 @@ object IndexStore {
       stage(s"postings:bucket=$bkt", s"bucket=$bkt") {
         val rows = spark.read.parquet(s"$dir/posting_rows.parquet")
           .filter(col("bucket") === bkt)
-        val blocks = rows
-          .groupBy("term_id", "salt")
-          .agg(sort_array(collect_list(struct(
-            col("doc_id"), col("tf"), col("ntf"), col("dl")))).as("plist"))
-          .select(col("term_id"), col("plist"))
-          .as[(Long, Seq[(Long, Int, Double, Long)])]
-          .flatMap { case (tid, pl) => Codec.buildBlocks(tid, pl.toArray) }
-        blocks.write.mode("overwrite").parquet(s"$dir/postings.parquet/bucket=$bkt")
+        IndexBuilder.blocksFromRows(spark, rows)
+          .write.mode("overwrite").parquet(s"$dir/postings.parquet/bucket=$bkt")
         spark.read.parquet(s"$dir/postings.parquet/bucket=$bkt").count()
       }
     }

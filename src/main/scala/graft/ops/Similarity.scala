@@ -31,6 +31,14 @@ object Similarity {
     * beats a combinatorial IN list in both planning and execution. */
   val MaxProbeBuckets = 4096L
 
+  /** Below this many vectors the in-memory index skips the cluster-by-key
+    * exchange + sort before pinning (guide §2: partitioning derived from
+    * input size): batch min/max pruning saves at most a full scan of the
+    * cache, and under ~10^5 vectors that scan costs less than the one-time
+    * shuffle+sort — forever. Durable (parquet) layouts keep partitionBy
+    * clustering at every size, and large corpora are unaffected. */
+  val ClusterRowThreshold = 262144L
+
   /** Auto-sized hyperplane count: target ~16 vectors per bucket —
     * `ceil(log2(n/16))` clamped to [4, 24]. More planes = smaller buckets =
     * sharper pruning; ring-widening already guarantees k results, so the
@@ -195,10 +203,10 @@ object Similarity {
     }
     val p = if (planes > 0) planes else autoPlanes(n)
     val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
-    val df = embeddings
-      .withColumn("sig", sigUdf(col("embedding")))
-      .repartition(col("sig"))
-      .sortWithinPartitions("sig")
+    val signed = embeddings.withColumn("sig", sigUdf(col("embedding")))
+    val df = (if (n >= ClusterRowThreshold)
+      signed.repartition(col("sig")).sortWithinPartitions("sig")
+    else signed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     new AnnIndex(df, seed, p, dims)
   }
@@ -506,11 +514,12 @@ object Similarity {
         / math.max(1, sample.length))
 
     // ONE full pass: assign every vector to its trained cell and cluster
+    // (cluster exchange skipped below ClusterRowThreshold — see there)
     val assignUdf = udf((v: Seq[Float]) => bestCell(v, finalCents)._1)
-    val df = embeddings
-      .withColumn("cell", assignUdf(col("embedding")))
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell")
+    val assigned = embeddings.withColumn("cell", assignUdf(col("embedding")))
+    val df = (if (n >= ClusterRowThreshold)
+      assigned.repartition(col("cell")).sortWithinPartitions("cell")
+    else assigned)
       .persist(StorageLevel.MEMORY_AND_DISK)
     new IvfIndex(df, finalCents, trainMeanCos)
   }
