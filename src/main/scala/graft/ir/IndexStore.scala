@@ -34,8 +34,26 @@ object IndexStore {
 
   final case class StageRecord(stage: String, rows: Long, millis: Long, bytes: Long, detail: String)
 
+  // explicit table schemas for load-path reads: every schemaless
+  // `spark.read.parquet` runs a footer-inference job first, and the load
+  // path (called twice by a delete — resolve + reload) otherwise pays ~10
+  // such sub-100ms jobs per store before any real work
   private lazy val blockSchema =
     org.apache.spark.sql.Encoders.product[Block].schema
+  private lazy val termStatSchema =
+    org.apache.spark.sql.Encoders.product[TermStat].schema
+  private lazy val docStatSchema =
+    org.apache.spark.sql.Encoders.product[DocStat].schema
+  private lazy val metaSchema =
+    org.apache.spark.sql.Encoders.product[IndexMeta].schema
+  private lazy val docMapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField(
+      "conv_id", org.apache.spark.sql.types.StringType, nullable = true)))
+  private lazy val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "doc_id", org.apache.spark.sql.types.LongType, nullable = false)))
 
   // all small-file I/O (manifest, config, tombstone paths, sizes) routes
   // through the dir's Hadoop FileSystem (StoreIO) so the staged build /
@@ -574,7 +592,8 @@ object IndexStore {
       upTo: Int = Int.MaxValue): Option[DataFrame] = {
     val ids = committedTombstones(manifest).filter(_ <= upTo)
     if (ids.isEmpty) None
-    else Some(ids.map(t => spark.read.parquet(tombPath(dir, t)).select("doc_id"))
+    else Some(ids.map(t =>
+        spark.read.schema(tombSchema).parquet(tombPath(dir, t)).select("doc_id"))
       .reduce(_ union _))
   }
 
@@ -612,7 +631,7 @@ object IndexStore {
       .select("doc_id")
     val id = nextEventId(manifest)
     victims.write.mode("overwrite").parquet(tombPath(dir, id))
-    val n = spark.read.parquet(tombPath(dir, id)).count()
+    val n = spark.read.schema(tombSchema).parquet(tombPath(dir, id)).count()
     if (n == 0) {
       // nothing resolved: drop the empty file, commit nothing
       StoreIO.delete(tombPath(dir, id))
@@ -879,26 +898,31 @@ object IndexStore {
       committed.lastOption.map(b => s"${batchDir(dir, b)}/$table")
         .getOrElse(s"$dir/$table")
     // per-root reads (not one multi-path read): keeps partition discovery,
-    // pushdown and bucket pruning local to each root. Postings get an
-    // explicit schema so an empty delta (all-stopword batch) still reads.
+    // pushdown and bucket pruning local to each root. Every read supplies
+    // its table schema explicitly — a schemaless read runs a footer-
+    // inference job first, and the load path otherwise pays ~10 such jobs
+    // per store (also lets an empty postings delta — all-stopword batch —
+    // still read).
+    val tableSchema = Map(
+      "postings.parquet" -> blockSchema,
+      "doc_stats.parquet" -> docStatSchema,
+      "doc_map.parquet" -> docMapSchema,
+      "term_dict.parquet" -> termStatSchema)
     def unionAll(table: String, cols: Seq[String]): DataFrame =
       (s"$dir/$table" +: committed.map(b => s"${batchDir(dir, b)}/$table"))
-        .map { p =>
-          val r = if (table == "postings.parquet")
-            spark.read.schema(blockSchema).parquet(p)
-          else spark.read.parquet(p)
-          r.select(cols.map(col): _*)
-        }
+        .map(p => spark.read.schema(tableSchema(table)).parquet(p)
+          .select(cols.map(col): _*))
         .reduce(_ union _)
 
-    val meta = spark.read.parquet(latestOr("index_meta.parquet")).as[IndexMeta].head()
+    val meta = spark.read.schema(metaSchema)
+      .parquet(latestOr("index_meta.parquet")).as[IndexMeta].head()
     val blockCols = Seq("term_id", "first_doc_id", "last_doc_id", "count",
       "doc_ids", "tfs", "max_tf", "block_max_ntf", "min_dl")
     // cosine mode rewrites doc_stats in full per append (norms shift with
     // idf); BM25-only mode appends delta stats files like doc_map/postings
     val docStats =
       if (effective.cosineNorms)
-        spark.read.parquet(latestOr("doc_stats.parquet"))
+        spark.read.schema(docStatSchema).parquet(latestOr("doc_stats.parquet"))
       else unionAll("doc_stats.parquet",
         Seq("doc_id", "conv_id", "max_tf", "doc_len", "norm"))
     // tombstones apply at the doc tables only: every query path resolves
@@ -906,7 +930,8 @@ object IndexStore {
     // results without touching a posting block; df/idf/avgdl stay as built
     // until compact() folds the deletes in physically (see `delete`)
     IndexView(
-      termDict = spark.read.parquet(latestOr("term_dict.parquet")).as[TermStat],
+      termDict = spark.read.schema(termStatSchema)
+        .parquet(latestOr("term_dict.parquet")).as[TermStat],
       postings = unionAll("postings.parquet", blockCols).as[Block],
       docStats = dropDead(docStats).as[DocStat],
       docMap = dropDead(unionAll("doc_map.parquet", Seq("doc_id", "conv_id"))),

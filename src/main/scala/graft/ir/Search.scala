@@ -261,7 +261,7 @@ class Searcher(index: IndexView) extends Serializable {
             .filter(col("nterms") === qts.length)
         }
         matched
-          .join(index.docStats.select("doc_id", "conv_id", "max_tf", "norm"), "doc_id")
+          .join(index.docStats.select("doc_id", "conv_id", "max_tf", "norm").hint("merge"), "doc_id")
           .withColumn("score",
             when(col("max_tf") === 0 || col("norm") === 0.0, 0.0)
               .otherwise(col("cnum") / col("max_tf") / (lit(qNorm) * col("norm"))))
@@ -287,7 +287,7 @@ class Searcher(index: IndexView) extends Serializable {
               (tf + lit(k1) * (lit(1 - b) + lit(b / avgdl) * col("doc_len")))))
         }.reduce(_ + _)
         matched
-          .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
+          .join(index.docStats.select("doc_id", "conv_id", "doc_len").hint("merge"), "doc_id")
           .withColumn("score", sat.cast("double") / ScoreScale)
       case Bm25 =>
         // long-query fallback: per-doc contribution list folded on the
@@ -305,7 +305,7 @@ class Searcher(index: IndexView) extends Serializable {
             .filter(col("nterms") === qts.length)
         }
         matched
-          .join(index.docStats.select("doc_id", "conv_id", "doc_len"), "doc_id")
+          .join(index.docStats.select("doc_id", "conv_id", "doc_len").hint("merge"), "doc_id")
           .withColumn("score",
             aggregate(col("contribs"), lit(0L), (acc, c) =>
               acc + qfix(c.getField("qb") * (c.getField("tf") * (k1 + 1)) /

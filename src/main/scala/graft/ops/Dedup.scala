@@ -164,12 +164,20 @@ object Dedup {
   private def sizedPairsUdf(threshold: Double) =
     udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val s = xs.map(r => (r.getLong(0), r.getInt(1))).distinct.sorted
-      for {
-        i <- s.indices; j <- i + 1 until s.length
-        (da, sza) = s(i)
-        (db, szb) = s(j)
-        if sza >= threshold * szb && szb >= threshold * sza
-      } yield (da, db, sza, szb)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+      var i = 0
+      while (i < s.length) {
+        val (da, sza) = s(i)
+        var j = i + 1
+        while (j < s.length) {
+          val (db, szb) = s(j)
+          if (sza >= threshold * szb && szb >= threshold * sza)
+            out += ((da, db, sza, szb))
+          j += 1
+        }
+        i += 1
+      }
+      out
     })
 
   def ngramJaccard(
@@ -204,17 +212,21 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard"))
   }
 
-  /** 64-bit SimHash per doc (token-frequency weighted). */
+  /** 64-bit SimHash per doc (token-frequency weighted). The per-token loop
+    * adds ±1 directly — numerically identical to grouping by token first
+    * (the acc is a sum either way) without `groupBy`'s per-key array
+    * allocations in the hot tokenizer UDF. */
   private[ops] def simhash64(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)
-    tokens.groupBy(identity).foreach { case (t, g) =>
-      val h = Hashing.fnv1a64(t)
-      val w = g.length
+    var t = 0
+    while (t < tokens.length) {
+      val h = Hashing.fnv1a64(tokens(t))
       var i = 0
       while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += w else acc(i) -= w
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
         i += 1
       }
+      t += 1
     }
     var out = 0L
     var i = 0
@@ -285,7 +297,11 @@ object Dedup {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val bc = spark.sparkContext.broadcast(rows)
-      val slices = math.max(1, math.min(256, rows.length / 8))
+      // enough slices to level the i-range triangle across the box, few
+      // enough that per-task scheduling stays invisible (was a flat 256 —
+      // ~8-row tasks at sf0.1, half the stage was scheduling)
+      val slices = math.max(1, math.min(
+        4 * spark.sparkContext.defaultParallelism, rows.length / 16))
       // flat primitive sweep per partition: the earlier per-pair
       // `iterator.flatMap` allocated an Iterator per candidate pair — at
       // n²/2 pairs that allocation dominated the 64-wide dot product
