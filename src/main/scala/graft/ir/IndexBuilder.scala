@@ -306,10 +306,21 @@ object IndexBuilder {
   private[graft] def tfStage(
       turns: DataFrame, docMap: DataFrame, nDocs: Long,
       acfg: AnalyzerConfig): DataFrame = {
-    val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
-    turns
-      .join(dim(docMap, nDocs), "conv_id")
-      .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+    // stem-free, regex-free profiles (both bench profiles) tokenize through
+    // the native generator — no UDF hop, no per-turn Array[String], tokens
+    // byte-sliced straight from the UTF8String (TokenizeTextSpec pins
+    // equality with Analyzer.analyze); other profiles keep the UDF form
+    val tokens =
+      if (acfg.stem.isEmpty && !acfg.regex)
+        turns.join(dim(docMap, nDocs), "conv_id")
+          .select(col("doc_id"),
+            graft.functions.TokenizeText.column(col("text"), acfg))
+      else {
+        val analyzeUdf = udf((s: String) => Analyzer.analyze(s, acfg))
+        turns.join(dim(docMap, nDocs), "conv_id")
+          .select(col("doc_id"), explode(analyzeUdf(col("text"))).as("term"))
+      }
+    tokens
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
   }
