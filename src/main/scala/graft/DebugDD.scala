@@ -51,8 +51,46 @@ object DebugDD {
       .select(sum((col("count") * (col("count") - 1) / 2).cast("long")))
       .head().getLong(0)
     println(s"[dd] minhash bucket pair instances=$mhPairs")
-    val lsh = Dedup.minhashLsh(docs, 0.5)
-    println("[dd] lsh result=" + lsh.count())
+    def timed(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[dd] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s  ($r)")
+    }
+    // phase decomposition of minhashLsh (replicated shapes)
+    val sets2 = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .cache()
+    timed("mh sets materialize")(sets2.count())
+    val bandsUdf2 = udf { (sig: Seq[Long]) =>
+      sig.grouped(Dedup.BandSize).zipWithIndex.map { case (band, i) =>
+        (i, Hashing.mix(band.foldLeft(i.toLong)((a, b) => Hashing.mix(a ^ b))))
+      }.toSeq
+    }
+    val banded2 = sets2
+      .select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+      .select(col("doc_id"), posexplode(bandsUdf2(col("sig"))).as(Seq("band", "bucket")))
+    timed("mh sig+banded count")(banded2.count())
+    val ok2 = banded2.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= 1000).select("band", "bucket")
+    val buckets2 = banded2.join(ok2, Seq("band", "bucket"))
+      .groupBy("band", "bucket").agg(collect_list("doc_id").as("ids"))
+    val pairsUdf2 = udf((ids: Seq[Long]) => {
+      val s = ids.distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    })
+    val pairs2 = buckets2.select(explode(pairsUdf2(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    timed("mh buckets+pairs")(pairs2.count())
+    val verify2 = pairs2
+      .join(sets2.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets2.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+    timed("mh verify")(verify2.count())
+    timed("mh full (2nd time)")(Dedup.minhashLsh(docs, 0.5).count())
+    timed("mh full (3rd time)")(Dedup.minhashLsh(docs, 0.5).count())
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ir.{Analyzer, AnalyzerConfig}
@@ -93,7 +93,8 @@ object Dedup {
     // candidate pairs = docs sharing (band, bucket); skew valve on bucket
     // size, enforced BEFORE any bucket materializes (boundedBuckets) — a
     // degenerate all-boilerplate bucket never reaches one reducer's memory
-    val pairs = boundedBuckets(banded, Seq("band", "bucket"), "doc_id", maxBucket)
+    val pairs = boundedBuckets(banded, Seq("band", "bucket"),
+      col("doc_id"), lit(0L), maxBucket)
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
@@ -116,30 +117,37 @@ object Dedup {
       (i, Hashing.mix(band.foldLeft(i.toLong)((a, b) => Hashing.mix(a ^ b))))
     }.toSeq)
 
-  /** Bucket membership lists bounded BEFORE materialization: count per key
-    * first (map-side partial agg — a hot key arrives pre-reduced), keep only
-    * keys with 2..maxBucket members, then collect lists for survivors. The
-    * naive `collect_list → size filter` materializes the hottest bucket on
-    * one reducer before dropping it — the straggler the valve exists to
-    * prevent. Both aggregations and the join share the key, so the banded
-    * exchange is reused. Output: key columns + `ids` (bounded list). */
+  /** Bucket membership lists bounded BEFORE materialization, in ONE
+    * aggregation: a size-capped collect ([[CappedListAggregator]]) keeps at
+    * most cap+1 members per bucket — partial (map-side) buffers are capped
+    * too, so a degenerate all-boilerplate bucket never materializes anywhere,
+    * not even pre-shuffle. Overflowed buckets (size > cap) and singletons
+    * are dropped by the size filter. Replaces the r6 count-first valve
+    * (count agg + filter + join + collect_list — two extra stages and a
+    * sort-merge join per dedup query) with identical kept-bucket contents:
+    * a bucket of ≤ cap members is never truncated on any path, and dropped
+    * buckets contribute nothing. Output: key columns + `ids`
+    * (array<struct<_1,_2>> of the two id longs). */
   private def boundedBuckets(
-      banded: DataFrame, keys: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
-    val ok = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-      .select(keys.map(col): _*)
-    banded.join(ok, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(collect_list(idCol).as("ids"))
+      banded: DataFrame, keys: Seq[String],
+      aCol: Column, bCol: Column, maxBucket: Int): DataFrame = {
+    val capped = udaf(new CappedListAggregator(maxBucket),
+      CappedListAggregator.inputEncoder)
+    banded.groupBy(keys.map(col): _*)
+      .agg(capped(aCol, bCol).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
   }
 
-  private val pairsUdf = udf((ids: Seq[Long]) => {
-    val s = ids.distinct.sorted
+  private val pairsUdf = udf((ids: Seq[org.apache.spark.sql.Row]) => {
+    val s = ids.map(_.getLong(0)).distinct.sorted
     for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
   })
 
-  /** Exact jaccard on candidate pairs only. */
+  /** Exact jaccard on candidate pairs only. Join strategy left to the
+    * planner: the cached sets table auto-broadcasts while it fits (the
+    * sweep scale) and falls back to a shuffle join past the threshold —
+    * an A/B of forcing shuffled-hash here measured ~0.1 s SLOWER at sf0.1
+    * (two extra exchanges against two sub-50 ms broadcast builds). */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -163,7 +171,7 @@ object Dedup {
     * never reach the threshold and is never materialized. */
   private def sizedPairsUdf(threshold: Double) =
     udf((xs: Seq[org.apache.spark.sql.Row]) => {
-      val s = xs.map(r => (r.getLong(0), r.getInt(1))).distinct.sorted
+      val s = xs.map(r => (r.getLong(0), r.getLong(1).toInt)).distinct.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
       var i = 0
       while (i < s.length) {
@@ -199,8 +207,7 @@ object Dedup {
     // machinery produced exactly the same pair multiset this explode yields
     // (1.3M pair rows at sf0.1) for one extra exchange and two sorts.
     val inter = boundedBuckets(
-      exploded.select(struct(col("doc_id"), col("sz")).as("x"), col("s")),
-      Seq("s"), "x", maxPostings)
+      exploded, Seq("s"), col("doc_id"), col("sz").cast("long"), maxPostings)
       .select(explode(sizedPairsUdf(threshold)(col("ids"))).as("p"))
       .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
         col("p._3").as("sz_a"), col("p._4").as("sz_b"))
@@ -251,8 +258,9 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bb"))
-      .select(struct(col("doc_id"), col("sim")).as("x"), col("bb.band"), col("bb.v"))
-    val buckets = boundedBuckets(banded, Seq("band", "v"), "x", maxBucket)
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.v"))
+    val buckets = boundedBuckets(banded, Seq("band", "v"),
+      col("doc_id"), col("sim"), maxBucket)
     val hammingPairs = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       val s = xs.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
       for {
@@ -341,7 +349,8 @@ object Dedup {
           struct(lit(1).as("band"), shiftrightunsigned(col("sig"), 6).bitwiseAND(lit(0x1F)).as("v")),
           struct(lit(2).as("band"), shiftrightunsigned(col("sig"), 11).bitwiseAND(lit(0x1F)).as("v")))).as("bb"))
         .select(col("vec_id"), col("bb.band"), col("bb.v"))
-      val pairs = boundedBuckets(banded, Seq("band", "v"), "vec_id", maxBucket)
+      val pairs = boundedBuckets(banded, Seq("band", "v"),
+        col("vec_id"), lit(0L), maxBucket)
         .select(explode(pairsUdf(col("ids"))).as("p"))
         .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
         .distinct()
@@ -353,4 +362,39 @@ object Dedup {
         .select("doc_a", "doc_b", "cosine")
     }
   }
+}
+
+/**
+ * Size-capped per-group collect of (a, b) long pairs — the one-aggregation
+ * skew valve behind [[Dedup.boundedBuckets]]. Buffers (including map-side
+ * partials) never exceed cap+1 elements, so a hot key is bounded on every
+ * task; a group whose true size exceeds the cap surfaces as a cap+1-length
+ * list the caller drops. Kept groups (≤ cap members) are never truncated on
+ * any reduce/merge path, so their contents are exact; element ORDER is
+ * arrival-dependent, and every consumer sorts before emitting pairs.
+ */
+private[ops] final class CappedListAggregator(cap: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  override def zero: Seq[(Long, Long)] = Vector.empty
+  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.length > cap) buf else buf :+ in
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    if (a.length > cap) a
+    else if (b.length > cap) b
+    else {
+      val m = a ++ b
+      if (m.length > cap + 1) m.take(cap + 1) else m
+    }
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+private[ops] object CappedListAggregator {
+  val inputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
 }
