@@ -136,6 +136,18 @@ final case class IndexView(
   @transient lazy val thetaIntervalCache:
       java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[(Long, Long)]] =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[(Long, Long)]]()
+
+  /** Size cap for [[thetaIntervalCache]] (ADVICE r6): a long-lived serving
+    * view under a high-cardinality query stream otherwise accumulates one
+    * entry per distinct (term, k) forever. Entries are cheap to recompute,
+    * so past the cap the cache is simply cleared (no LRU bookkeeping on the
+    * hot path). ~32 B/entry → ≤ ~16 MB at the cap. */
+  def thetaCachePutBounded(key: (Long, Int), v: Array[(Long, Long)]): Unit = {
+    if (thetaIntervalCache.size() >= IndexView.ThetaCacheMaxEntries)
+      thetaIntervalCache.clear()
+    thetaIntervalCache.put(key, v)
+    ()
+  }
 }
 
 object IndexView {
@@ -143,6 +155,9 @@ object IndexView {
     * skipped (≈100 B/entry → ~400 MB at the limit) and the query side uses
     * pushed-filter scans instead. */
   val DriverDictLimit: Long = 4000000L
+
+  /** θ-interval cache entry cap — see IndexView.thetaCachePutBounded. */
+  val ThetaCacheMaxEntries: Int = 500000
 
   /** Serving-mode shuffle-partition rule (VERDICT r2 #7): a query's fixed
     * cost is ~linear in tasks-per-stage, and the build-sized partition count

@@ -141,7 +141,7 @@ class Searcher(index: IndexView) extends Serializable {
           tid -> rs.map(r => (r.getLong(1), r.getLong(2))).sorted
         }
       missing.foreach { t =>
-        cache.put((t, k), got.getOrElse(t, Array.empty[(Long, Long)])); ()
+        index.thetaCachePutBounded((t, k), got.getOrElse(t, Array.empty[(Long, Long)]))
       }
     }
     termIds.distinct.map(t => t -> cache.get((t, k))).toMap

@@ -154,8 +154,20 @@ object StreamingIndexer {
       // a restart from the same checkpoint replays the last unacknowledged
       // epoch, whose mode-overwrite rewrite of turns-e$epoch.parquet would
       // race a still-running async flush that pinned that file (ADVICE r5)
-      // — wait out any in-flight flush for this dir before the query starts
-      while (!flushIdle(dir)) Thread.sleep(20)
+      // — wait out any in-flight flush for this dir before the query starts.
+      // Logged once and bounded (ADVICE r6): a hung flush otherwise spun
+      // this silently forever; failing loudly beats an invisible stall.
+      if (!flushIdle(dir)) {
+        System.err.println(
+          s"[graft-stream] indexStream($dir): waiting for an in-flight flush")
+        val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+        while (!flushIdle(dir)) {
+          require(System.nanoTime() < deadline,
+            s"indexStream($dir): in-flight flush did not finish within 10 min " +
+              "— investigate the stuck flush before restarting the stream")
+          Thread.sleep(20)
+        }
+      }
       flushBusy.remove(dir)
       turnEvents(turns, gapMs)
         .writeStream
