@@ -299,9 +299,14 @@ object Dedup {
       bruteLimit: Long = EmbeddingBruteLimit): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val n = embeddings.count()
-    if (n <= bruteLimit) {
-      val rows = embeddings.select("vec_id", "embedding").collect()
+    // ONE bounded job decides the path AND fetches the brute matrix: a
+    // limit-collect of bruteLimit+1 rows returns everything iff the corpus
+    // fits the brute path (driver memory stays ≤ ~25 MB at the default
+    // limit either way); a full count + full collect was two jobs
+    val probe = embeddings.select("vec_id", "embedding")
+      .limit(math.min(bruteLimit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= bruteLimit) {
+      val rows = probe
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val bc = spark.sparkContext.broadcast(rows)
