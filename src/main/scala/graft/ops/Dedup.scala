@@ -35,12 +35,20 @@ object Dedup {
     if (tokens.length < n) Array(tokens.mkString(" "))
     else tokens.sliding(n).map(_.mkString(" ")).toArray
 
+  /** Per-slot seed mixes hoisted out of the signature loop: mix(i·φ) depends
+    * only on the slot index, but the r6 shape recomputed it per (shingle,
+    * slot) — NumHashes mixes per shingle instance (≈16M redundant mixes per
+    * 250k shingles), half the signature kernel. Same values, bit-identical
+    * signatures. */
+  private val SeedMix: Array[Long] =
+    Array.tabulate(NumHashes)(i => Hashing.mix(i.toLong * 0x9E3779B97F4A7C15L))
+
   private[ops] def minhashSig(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     sh.foreach { base =>
       var i = 0
       while (i < NumHashes) {
-        val h = Hashing.mix(base ^ Hashing.mix(i.toLong * 0x9E3779B97F4A7C15L))
+        val h = Hashing.mix(base ^ SeedMix(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }

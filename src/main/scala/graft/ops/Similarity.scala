@@ -105,6 +105,27 @@ object Similarity {
     sig
   }
 
+  /** [[signature]] against a PRECOMPUTED plane matrix: `plane(seed, p, d)` is
+    * a pure function, but the per-row UDF form re-derived it (two SplitMix64
+    * rounds per element) for every (row, plane, dim) — at 10^9 vectors ×
+    * 24 planes × 64 dims that is the dominant cost of the ingest signature
+    * pass. Same values, same multiplication order → bit-identical
+    * signatures (the build UDFs fall back to [[signature]] when a row's
+    * width differs from the probed dims, so equivalence is unconditional). */
+  private[ops] def signatureW(vec: Seq[Float], w: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < w.length) {
+      val wp = w(p)
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * wp(d); d += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
   /** All signatures at exactly hamming distance `h` from `sig`. */
   private[ops] def ring(sig: Int, h: Int, planes: Int = NumPlanes): Seq[Int] =
     if (h == 0) Seq(sig)
@@ -202,7 +223,9 @@ object Similarity {
       (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
     }
     val p = if (planes > 0) planes else autoPlanes(n)
-    val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
+    val w = planeMatrix(seed, p, dims)
+    val sigUdf = udf((v: Seq[Float]) =>
+      if (v.length == dims) signatureW(v, w) else signature(v, seed, p))
     val signed = embeddings.withColumn("sig", sigUdf(col("embedding")))
     val df = (if (n >= ClusterRowThreshold)
       signed.repartition(col("sig")).sortWithinPartitions("sig")
@@ -252,7 +275,9 @@ object Similarity {
       (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
     }
     val p = if (planes > 0) planes else autoPlanes(n)
-    val sigUdf = udf((v: Seq[Float]) => signature(v, seed, p))
+    val w = planeMatrix(seed, p, dims)
+    val sigUdf = udf((v: Seq[Float]) =>
+      if (v.length == dims) signatureW(v, w) else signature(v, seed, p))
     embeddings
       .withColumn("sig", sigUdf(col("embedding")))
       .write.mode("overwrite").partitionBy("sig").parquet(path)

@@ -11,6 +11,33 @@ class OpsSpec extends SparkSpec {
   private lazy val docs = Pipelines.documents(spark, sf)
   private lazy val embs = Pipelines.embeddings(spark, sf)
 
+  test("hoisted kernels: minhash seed-mix table and plane-matrix signature equal the direct forms") {
+    val rnd = new scala.util.Random(7)
+    // minhashSig vs the per-(shingle, slot) direct recompute it replaced
+    (0 until 20).foreach { _ =>
+      val sh = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val ref = Array.fill(Dedup.NumHashes)(Long.MaxValue)
+      sh.foreach { base =>
+        var i = 0
+        while (i < Dedup.NumHashes) {
+          val h = Hashing.mix(base ^ Hashing.mix(i.toLong * 0x9E3779B97F4A7C15L))
+          if (h < ref(i)) ref(i) = h
+          i += 1
+        }
+      }
+      assert(Dedup.minhashSig(sh).sameElements(ref))
+    }
+    // signatureW over a precomputed plane matrix vs the hash-deriving form
+    (0 until 20).foreach { _ =>
+      val planes = 1 + rnd.nextInt(24)
+      val dims = 1 + rnd.nextInt(96)
+      val seed = rnd.nextLong()
+      val v = Array.fill(dims)(rnd.nextFloat() * 2 - 1).toSeq
+      val w = Similarity.planeMatrix(seed, planes, dims)
+      assert(Similarity.signatureW(v, w) == Similarity.signature(v, seed, planes))
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs)
     assert(g.agg(sum("n_dups")).head().getLong(0) == docs.count())
