@@ -74,7 +74,10 @@ object Dedup {
       while (i < sh.length) { out(i) = Hashing.fnv1a64(sh(i)); i += 1 }
       out.distinct
     })
-    docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    // widen a single-file scan first: the analyze+shingle+hash pass is the
+    // heaviest per-row kernel in the dedup family and must not run on one
+    // core just because the corpus arrived as one parquet file (Narrow)
+    Narrow.widen(docs).select(col("doc_id"), shUdf(col("text")).as("sh"))
   }
 
   /**
@@ -260,8 +263,10 @@ object Dedup {
     require(maxHamming <= 3, "4-band pigeonhole covers hamming<=3")
     val spark = docs.sparkSession
     val shUdf = udf((t: String) => simhash64(Analyzer.analyze(t, cfg)))
-    // single downstream consumer — no cache needed (ADVICE r1 storage leak)
-    val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sim"))
+    // single downstream consumer — no cache needed (ADVICE r1 storage leak);
+    // widened like shingleSets: the tokenize+simhash kernel on one core
+    // serializes a single-file corpus scan
+    val sigs = Narrow.widen(docs).select(col("doc_id"), shUdf(col("text")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),

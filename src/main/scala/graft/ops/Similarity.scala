@@ -226,7 +226,11 @@ object Similarity {
     val w = planeMatrix(seed, p, dims)
     val sigUdf = udf((v: Seq[Float]) =>
       if (v.length == dims) signatureW(v, w) else signature(v, seed, p))
-    val signed = embeddings.withColumn("sig", sigUdf(col("embedding")))
+    // below the cluster threshold, still widen a single-file scan BEFORE the
+    // signature projection so the per-row kernel parallelizes (Narrow —
+    // no-op on at-scale inputs; the clustered branch redistributes anyway)
+    val base = if (n >= ClusterRowThreshold) embeddings else Narrow.widen(embeddings)
+    val signed = base.withColumn("sig", sigUdf(col("embedding")))
     val df = (if (n >= ClusterRowThreshold)
       signed.repartition(col("sig")).sortWithinPartitions("sig")
     else signed)
@@ -541,7 +545,12 @@ object Similarity {
     // ONE full pass: assign every vector to its trained cell and cluster
     // (cluster exchange skipped below ClusterRowThreshold — see there)
     val assignUdf = udf((v: Seq[Float]) => bestCell(v, finalCents)._1)
-    val assigned = embeddings.withColumn("cell", assignUdf(col("embedding")))
+    // the assign kernel is n × √n-cells × dims flops — widen a single-file
+    // scan BEFORE the assign projection so it does not run on one core
+    // (measured 1.0 s serialized at sf0.1; Narrow is a no-op on at-scale
+    // inputs, and the clustered branch redistributes via its own exchange)
+    val aBase = if (n >= ClusterRowThreshold) embeddings else Narrow.widen(embeddings)
+    val assigned = aBase.withColumn("cell", assignUdf(col("embedding")))
     val df = (if (n >= ClusterRowThreshold)
       assigned.repartition(col("cell")).sortWithinPartitions("cell")
     else assigned)
